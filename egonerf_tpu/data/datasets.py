@@ -1,0 +1,319 @@
+"""Dataset loaders — host-side numpy pipelines.
+
+Each loader produces the same flat interface the trainer consumes
+(reference: dataLoader/dataset_interface.py:7-53):
+
+* ``all_rays``: (N, 6) float32 [origin | direction], or (n_img, h*w, 6)
+  when ``is_stack`` (eval);
+* ``all_rgbs``: matching colors;
+* ``scene_bbox`` (2, 3), ``near_far``, ``img_wh``, ``roi``, ``white_bg``.
+
+Images decode via PIL once at startup; everything after is numpy.  The
+device never sees images — only gathered ray batches.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .pose_descriptor import pose_descriptor_dict
+from .ray_utils import (
+    average_poses,
+    center_poses,
+    get_ray_directions_360,
+    get_ray_directions_blender,
+    get_rays,
+    get_spiral,
+)
+
+
+def _load_image(path, resize_wh=None) -> np.ndarray:
+    """Decode to float32 (h, w, c) in [0, 1]; RGBA blended onto white."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if resize_wh is not None and img.size != tuple(resize_wh):
+        img = img.resize(resize_wh, Image.LANCZOS)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=-1)
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3] * arr[..., 3:4] + (1.0 - arr[..., 3:4])
+    return arr
+
+
+class EgoNeRFDataset:
+    """Common state + the trajectory-sphere scene bbox rule
+    (reference: dataLoader/dataset_omniblender.py:25-32)."""
+
+    def __init__(self, data_dir, split="train", is_stack=False, downsample=1.0,
+                 near_far=(0.1, 15.0), roi=(0.0, 1.0, 0.0, 1.0),
+                 localization_method="colmap", skip=1, use_gt_depth=False, **_):
+        self.root_dir = data_dir
+        self.split = split
+        self.is_stack = is_stack
+        self.downsample = downsample
+        self.near_far = [float(near_far[0]), float(near_far[1])]
+        self.roi = list(roi) if roi is not None else [0.0, 1.0, 0.0, 1.0]
+        self.localization_method = localization_method
+        self.skip = int(skip)
+        self.use_gt_depth = use_gt_depth
+
+        self.white_bg = False
+        self.img_wh = (0, 0)
+        self.poses = None
+        self.all_rays = None
+        self.all_rgbs = None
+        self.all_depths = None
+        self.center = None
+        self.scene_bbox = None
+        self.pose_descriptor = pose_descriptor_dict[localization_method]()
+
+    def get_scene_bbox(self) -> np.ndarray:
+        cam_pos = self.poses[:, :3, 3]
+        self.center = cam_pos.mean(0)
+        traj_radius = np.linalg.norm(cam_pos.max(0) - cam_pos.min(0)) / 2.0
+        return np.stack([
+            self.center - traj_radius - self.near_far[1],
+            self.center + traj_radius + self.near_far[1],
+        ]).astype(np.float32)
+
+    def _finalize(self, rays_list, rgbs_list):
+        if self.is_stack:
+            self.all_rays = np.stack(rays_list).astype(np.float32)
+            w, h = self.img_wh
+            self.all_rgbs = np.stack(rgbs_list).reshape(-1, h, w, 3).astype(np.float32)
+        else:
+            self.all_rays = np.concatenate(rays_list).astype(np.float32)
+            self.all_rgbs = np.concatenate(rgbs_list).astype(np.float32)
+
+    def __len__(self):
+        return len(self.all_rgbs)
+
+
+class OmniBlenderDataset(EgoNeRFDataset):
+    """Synthetic equirect renders with transform.json + train/test split
+    files (reference: dataLoader/dataset_omniblender.py)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.img_wh = (int(2000 / self.downsample), int(1000 / self.downsample))
+        self.read_meta()
+        self.scene_bbox = self.get_scene_bbox()
+
+    def read_meta(self):
+        with open(os.path.join(self.root_dir, "transform.json")) as f:
+            meta = json.load(f)
+        self.indoor = meta.get("indoor", True)
+        w, h = self.img_wh
+
+        directions = get_ray_directions_360(h, w)
+        directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+
+        with open(os.path.join(self.root_dir, f"{self.split}.txt")) as f:
+            img_list = [line.strip() for line in f if line.strip()]
+        if self.split == "train":
+            assert self.skip == 1, "skip must be 1 for training"
+        img_list = img_list[:: self.skip]
+
+        frame_names = [fr["file_path"].split(".")[0] for fr in meta["frames"]]
+        poses, rays_list, rgbs_list = [], [], []
+        for name in img_list:
+            frame = meta["frames"][frame_names.index(name)]
+            c2w = np.asarray(frame["transform_matrix"], np.float32)
+            poses.append(c2w)
+            img = _load_image(
+                os.path.join(self.root_dir, "images", frame["file_path"]),
+                resize_wh=self.img_wh if self.downsample != 1.0 else None,
+            )
+            rgbs_list.append(img.reshape(-1, 3))
+            rays_o, rays_d = get_rays(directions, c2w, self.roi)
+            rays_list.append(np.concatenate([rays_o, rays_d], -1))
+        self.poses = np.stack(poses)
+        self._finalize(rays_list, rgbs_list)
+
+
+class EgocentricVideoDataset(EgoNeRFDataset):
+    """Real 360 captures (Ricoh360) with SLAM/SfM poses from a pluggable
+    descriptor (reference: dataLoader/dataset_egocentric_video.py)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.img_wh_origin = (int(1920 / self.downsample), int(960 / self.downsample))
+        self.img_wh = (
+            int(self.img_wh_origin[0] * (self.roi[3] - self.roi[2])),
+            int(self.img_wh_origin[1] * (self.roi[1] - self.roi[0])),
+        )
+        self.read_meta()
+        self.scene_bbox = self.get_scene_bbox()
+
+    def read_meta(self):
+        img_dir = os.path.join(self.root_dir, "imgs")
+        with open(os.path.join(self.root_dir, f"{self.split}.txt")) as f:
+            img_list = [os.path.join(img_dir, line.strip() + ".png") for line in f if line.strip()]
+
+        w, h = self.img_wh_origin
+        directions = get_ray_directions_360(h, w)
+        directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+
+        self.pose_descriptor.read_pose_file(self.root_dir, img_ext=".png")
+        self.pose_descriptor.normalize_pose()
+
+        poses, rays_list, rgbs_list = [], [], []
+        for fname in img_list:
+            img = _load_image(fname, resize_wh=self.img_wh_origin if self.downsample != 1.0 else None)
+            r0, r1, c0, c1 = self.roi
+            img = img[int(r0 * h) : int(r1 * h), int(c0 * w) : int(c1 * w)]
+            rgbs_list.append(img.reshape(-1, 3))
+
+            c2w = np.asarray(self.pose_descriptor.poses_dict[os.path.basename(fname)], np.float32)
+            poses.append(c2w)
+            rays_o, rays_d = get_rays(directions, c2w, roi=self.roi)
+            rays_list.append(np.concatenate([rays_o, rays_d], -1))
+        self.poses = np.stack(poses)
+        self._finalize(rays_list, rgbs_list)
+
+
+class OmniscenesDataset(EgoNeRFDataset):
+    """Turtlebot panoramas with per-frame pose txt; fixed roi crops the
+    robot body out of the frame (reference: dataLoader/dataset_omniscenes.py)."""
+
+    RAYS2CAM = np.array([
+        [0.0, 0.0, -1.0, 0.0],
+        [-1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ], dtype=np.float32)
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.roi = [0.0, 0.9, 0.0, 1.0]
+        self.img_wh_origin = (int(1920 / self.downsample), int(960 / self.downsample))
+        self.img_wh = (
+            int(self.img_wh_origin[0] * (self.roi[3] - self.roi[2])),
+            int(self.img_wh_origin[1] * (self.roi[1] - self.roi[0])),
+        )
+        self.read_meta()
+        self.scene_bbox = self.get_scene_bbox()
+
+    def _load_pose(self, filename) -> np.ndarray:
+        nums = open(filename).read().split()
+        c2w = np.asarray(nums, np.float32).reshape(3, 4)
+        c2w[:3, :3] = np.linalg.inv(c2w[:3, :3])
+        c2w4 = np.eye(4, dtype=np.float32)
+        c2w4[:3] = c2w
+        return c2w4 @ self.RAYS2CAM
+
+    def read_meta(self):
+        room = os.path.basename(self.root_dir.rstrip("/"))
+        base = os.path.dirname(self.root_dir.rstrip("/"))
+        img_dir = os.path.join(base, "turtlebot_pano", room)
+        pose_dir = os.path.join(base, "turtlebot_pose", room)
+        key = lambda f: int(os.path.splitext(f)[0][4:])
+        img_files = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir), key=key) if f.endswith(".jpg")]
+        pose_files = [os.path.join(pose_dir, f) for f in sorted(os.listdir(pose_dir), key=key) if f.endswith(".txt")]
+        assert len(img_files) == len(pose_files)
+
+        if self.split == "train":
+            img_files, pose_files = img_files[-31:-1], pose_files[-31:-1]
+        elif self.split == "test":
+            img_files, pose_files = img_files[-1:], pose_files[-1:]
+
+        w, h = self.img_wh_origin
+        directions = get_ray_directions_360(h, w)
+        directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+
+        poses, rays_list, rgbs_list = [], [], []
+        for img_path, pose_path in zip(img_files, pose_files):
+            c2w = self._load_pose(pose_path)
+            poses.append(c2w)
+            img = _load_image(img_path, resize_wh=self.img_wh_origin if self.downsample != 1.0 else None)
+            r0, r1, c0, c1 = self.roi
+            img = img[int(r0 * h) : int(r1 * h), int(c0 * w) : int(c1 * w)]
+            rgbs_list.append(img.reshape(-1, 3))
+            rays_o, rays_d = get_rays(directions, c2w, self.roi)
+            rays_list.append(np.concatenate([rays_o, rays_d], -1))
+        self.poses = np.stack(poses)
+        self._finalize(rays_list, rgbs_list)
+
+
+class LLFFDataset(EgoNeRFDataset):
+    """Forward-facing perspective scenes — the plain-TensoRF baseline path
+    (reference: dataLoader/dataset_llff.py:122-267)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.read_meta()
+        self.scene_bbox = self.get_scene_bbox()
+
+    def read_meta(self):
+        import glob
+
+        poses_bounds = np.load(os.path.join(self.root_dir, "poses_bounds.npy"))
+        img_dir = "images" if self.downsample == 1.0 else f"images_{int(self.downsample)}"
+        self.image_paths = sorted(glob.glob(os.path.join(self.root_dir, img_dir, "*")))
+        if self.split in ("train", "test"):
+            assert len(poses_bounds) == len(self.image_paths), \
+                "Mismatch between number of images and number of poses!"
+
+        poses = poses_bounds[:, :15].reshape(-1, 3, 5)
+        self.near_fars = poses_bounds[:, -2:]
+        h0, w0, focal0 = poses[0, :, -1]
+        self.img_wh = (int(round(w0 / self.downsample)), int(round(h0 / self.downsample)))
+        self.focal = [focal0 * self.img_wh[0] / w0, focal0 * self.img_wh[1] / h0]
+
+        # "down right back" -> "right up back"
+        poses = np.concatenate([poses[..., 1:2], -poses[..., :1], poses[..., 2:4]], -1)
+        self.poses, self.pose_avg = center_poses(poses, np.eye(4))
+        self.poses[..., 3] /= np.abs(self.poses[..., 3]).max()
+
+        self.render_path = get_spiral(self.poses, self.near_fars, n_views=120)
+
+        i_test = np.arange(0, self.poses.shape[0], 8)
+        img_list = (i_test if self.split != "train"
+                    else sorted(set(range(len(self.poses))) - set(i_test.tolist())))
+
+        rays_list, rgbs_list = [], []
+        for i in img_list:
+            c2w = self.poses[i].astype(np.float32)
+            img = _load_image(self.image_paths[i])
+            h, w = img.shape[:2]
+            self.img_wh = (w, h)
+            directions = get_ray_directions_blender(h, w, self.focal)
+            rgbs_list.append(img.reshape(-1, 3))
+            rays_o, rays_d = get_rays(directions, c2w)
+            rays_list.append(np.concatenate([rays_o, rays_d], -1))
+        self.poses = self.poses[np.asarray(img_list)]
+        self._finalize(rays_list, rgbs_list)
+
+
+class SyntheticEgoDataset(EgoNeRFDataset):
+    """Procedural analytic scene (see .synthetic) — self-contained smoke /
+    benchmark dataset needing no files on disk."""
+
+    def __init__(self, n_train=8, n_test=2, height=100, width=200, wall_radius=8.0, **kwargs):
+        kwargs.setdefault("data_dir", "<synthetic>")
+        kwargs.setdefault("near_far", (0.05, float(wall_radius) * 1.05))
+        super().__init__(**kwargs)
+        from .synthetic import make_poses, render_views
+
+        self.img_wh = (width, height)
+        n = n_train + n_test
+        poses = make_poses(n)
+        idx = (np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test] if self.split == "test"
+               else np.asarray(sorted(set(range(n)) - set(np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test].tolist()))))
+        self.poses = poses[idx]
+        rays, rgbs = render_views(self.poses, height, width, wall_radius)
+        self._finalize(list(rays), list(rgbs))
+        self.scene_bbox = self.get_scene_bbox()
+
+
+dataset_dict = {
+    "llff": LLFFDataset,
+    "egocentric": EgocentricVideoDataset,
+    "omniblender": OmniBlenderDataset,
+    "omniscenes": OmniscenesDataset,
+    "synthetic": SyntheticEgoDataset,
+}

@@ -1,0 +1,93 @@
+"""Procedural egocentric test scene.
+
+An analytic multi-view-consistent world (textured wall sphere + a few solid
+spheres for parallax) rendered to equirectangular images by closed-form ray
+casting.  Gives the framework a self-contained dataset for unit tests,
+end-to-end smoke training, and benchmarking — no external downloads.
+This is framework-native tooling with no reference counterpart.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ray_utils import get_ray_directions_360, get_rays
+
+_SPHERES = np.array([
+    # x, y, z, radius
+    [1.5, 0.3, -1.0, 0.55],
+    [-1.2, -0.4, 1.3, 0.45],
+    [0.2, 1.4, 0.8, 0.35],
+], dtype=np.float32)
+_SPHERE_COLORS = np.array([
+    [0.9, 0.25, 0.2],
+    [0.2, 0.55, 0.9],
+    [0.95, 0.8, 0.25],
+], dtype=np.float32)
+
+
+def _wall_color(p: np.ndarray) -> np.ndarray:
+    """Smooth banded texture on the wall sphere as a function of hit point."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = np.linalg.norm(p, axis=-1) + 1e-9
+    u = np.arctan2(y, x)
+    v = z / r
+    c0 = 0.5 + 0.45 * np.sin(3.0 * u) * np.cos(4.0 * v * np.pi)
+    c1 = 0.5 + 0.45 * np.sin(5.0 * v * np.pi + 1.0)
+    c2 = 0.5 + 0.45 * np.cos(2.0 * u + 3.0 * v)
+    return np.stack([c0, c1, c2], axis=-1).astype(np.float32)
+
+
+def trace_rays(rays_o: np.ndarray, rays_d: np.ndarray, wall_radius: float = 8.0):
+    """Closed-form ray cast. Returns (rgb (N,3), depth (N,))."""
+    n = rays_o.shape[0]
+    best_t = np.full(n, np.inf, np.float32)
+    rgb = np.zeros((n, 3), np.float32)
+
+    for sph, col in zip(_SPHERES, _SPHERE_COLORS):
+        oc = rays_o - sph[:3]
+        b = np.sum(oc * rays_d, -1)
+        c = np.sum(oc * oc, -1) - sph[3] ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        valid = hit & (t > 1e-3) & (t < best_t)
+        # simple lambert-ish shading from the hit normal for trainable detail
+        p = rays_o + t[..., None] * rays_d
+        normal = (p - sph[:3]) / sph[3]
+        shade = 0.6 + 0.4 * np.clip(normal[..., 1], -1, 1)
+        rgb[valid] = col[None] * shade[valid, None]
+        best_t[valid] = t[valid]
+
+    # wall sphere centered at origin
+    b = np.sum(rays_o * rays_d, -1)
+    c = np.sum(rays_o * rays_o, -1) - wall_radius ** 2
+    t = -b + np.sqrt(np.maximum(b * b - c, 0.0))
+    valid = t < best_t
+    p = rays_o + t[..., None] * rays_d
+    rgb[valid] = _wall_color(p[valid])
+    best_t[valid] = t[valid]
+    return rgb, best_t
+
+
+def make_poses(n: int, radius: float = 0.35) -> np.ndarray:
+    """Small circular camera trajectory near the origin (egocentric)."""
+    poses = []
+    for k in range(n):
+        a = 2.0 * np.pi * k / max(n, 1)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [radius * np.cos(a), 0.05 * np.sin(2 * a), radius * np.sin(a)]
+        poses.append(c2w)
+    return np.stack(poses)
+
+
+def render_views(poses: np.ndarray, h: int, w: int, wall_radius: float = 8.0):
+    """Render (n, h*w, 6) rays and (n, h*w, 3) colors for each pose."""
+    dirs = get_ray_directions_360(h, w)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    all_rays, all_rgbs = [], []
+    for c2w in poses:
+        rays_o, rays_d = get_rays(dirs, c2w)
+        rgb, _ = trace_rays(rays_o, rays_d, wall_radius)
+        all_rays.append(np.concatenate([rays_o, rays_d], -1))
+        all_rgbs.append(rgb)
+    return np.stack(all_rays), np.stack(all_rgbs)

@@ -1,0 +1,452 @@
+"""EgoNeRF: yin-yang dual-grid VM-factorized radiance field.
+
+TPU-native redesign of the reference model (reference: models/EgoNeRF.py).
+Key architectural translations:
+
+* **Stacked grids, flag-indexed gather.**  Yin and yang parameters live in
+  one array with a leading stack axis ``(2, H, W, C)``; each sample carries
+  a {0,1} flag from the coordinate chart and the bilinear gather folds the
+  flag into its row index.  One static-shape program replaces the
+  reference's data-dependent boolean partitioning
+  (reference: models/EgoNeRF.py:292-297).
+* **Pure functions over a parameter pytree.**  ``init_params`` builds the
+  pytree; ``forward`` is jit-compiled once and reused for train/eval.
+* **Coarse density grid recomputed in-step.**  The half-resolution sigma
+  grid is an average-pool of the fine grid under ``stop_gradient`` —
+  exactly the reference's 'conv' update rule which runs every iteration
+  anyway (reference: train.py:356-357, models/EgoNeRF.py:124-133) — so the
+  training step stays stateless.
+* **Exponential ray marching from a precomputed constant grid** baked into
+  the compiled program (reference: models/EgoNeRF.py:56-87).
+"""
+from __future__ import annotations
+
+import dataclasses
+from math import pi
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..coords.expgrid import make_sample_r_grid
+from ..coords.yinyang import YinYangSphericalCoords
+from ..ops.pdf import sample_pdf
+from ..ops.vm_lookup import sample_line_packed, sample_plane_packed
+from ..ops.volrend import raw2alpha
+from .envmap import envmap_radiance, init_envmap
+from .shading import make_shader
+
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static model hyperparameters (reference: models/tensorBase.py:132-158)."""
+    density_n_comp: Sequence[int] = (16, 16, 16)
+    app_n_comp: Sequence[int] = (48, 48, 48)
+    app_dim: int = 27
+    shading_mode: str = "MLP_Fea"
+    pos_pe: int = 6
+    view_pe: int = 2
+    fea_pe: int = 2
+    feature_c: int = 128
+    density_shift: float = -8.0
+    distance_scale: float = 25.0
+    fea2dense_act: str = "softplus"
+    ray_march_weight_thres: float = 1e-4
+    alpha_mask_thres: float = 1e-3
+    step_ratio: float = 0.5
+    use_envmap: bool = False
+    envmap_res_h: int = 1000
+    # compute dtype for the gather + shading hot path ('float32'|'bfloat16');
+    # parameters stay float32 masters either way
+    compute_dtype: str = "float32"
+
+
+def feature2density(feat: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
+    if cfg.fea2dense_act == "softplus":
+        return jax.nn.softplus(feat + cfg.density_shift)
+    if cfg.fea2dense_act == "relu":
+        return jnp.maximum(feat, 0.0)
+    raise ValueError(cfg.fea2dense_act)
+
+
+def _avg_pool_plane(p: jnp.ndarray) -> jnp.ndarray:
+    """(S, H, W, C) -> (S, H//2, W//2, C), mean 2x2 stride 2 (AvgPool2d)."""
+    s, h, w, c = p.shape
+    p = p[:, : (h // 2) * 2, : (w // 2) * 2, :]
+    p = p.reshape(s, h // 2, 2, w // 2, 2, c)
+    return p.mean(axis=(2, 4))
+
+
+def _avg_pool_line(l: jnp.ndarray) -> jnp.ndarray:
+    """(S, L, C) -> (S, L//2, C), mean k=2 stride 2 (AvgPool1d)."""
+    s, n, c = l.shape
+    l = l[:, : (n // 2) * 2, :]
+    return l.reshape(s, n // 2, 2, c).mean(axis=2)
+
+
+class EgoNeRF:
+    """Model definition object: holds static geometry + config, exposes pure
+    functions over a parameter pytree."""
+
+    name = "EgoNeRF"
+
+    def __init__(self, aabb, grid_size, coordinates: YinYangSphericalCoords,
+                 cfg: FieldConfig, near_far=(0.01, 15.0)):
+        self.aabb = np.asarray(aabb, np.float32).reshape(2, 3)
+        self.coordinates = coordinates
+        self.cfg = cfg
+        self.near_far = (float(near_far[0]), float(near_far[1]))
+        self.shader = make_shader(cfg.shading_mode, cfg.app_dim, cfg.pos_pe,
+                                  cfg.view_pe, cfg.fea_pe, cfg.feature_c)
+        self._sample_grid_cache: dict = {}
+        self.update_step_size(grid_size)
+
+    # ------------------------------------------------------------------
+    # geometry bookkeeping (reference: models/tensorBase.py:206-217)
+    # ------------------------------------------------------------------
+    def update_step_size(self, grid_size):
+        self.grid_size = [int(g) for g in grid_size]
+        aabb_size = self.aabb[1] - self.aabb[0]
+        self.units = aabb_size / (np.asarray(self.grid_size) - 1)
+        self.step_size = float(np.mean(self.units) * self.cfg.step_ratio)
+        half_diag = float(np.linalg.norm(aabb_size) / 2.0)
+        self.n_samples_auto = int(half_diag / self.step_size) + 1
+        self._sample_grid_cache.clear()
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+    def _init_vm(self, key, n_comp, scale=0.1):
+        """One stacked VM decomposition: 3 planes + 3 lines, yin & yang."""
+        planes, lines = [], []
+        gs = self.grid_size
+        keys = jax.random.split(key, 6)
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            planes.append(scale * jax.random.normal(keys[2 * i], (2, gs[m1], gs[m0], n_comp[i])))
+            lines.append(scale * jax.random.normal(keys[2 * i + 1], (2, gs[VEC_MODE[i]], n_comp[i])))
+        return planes, lines
+
+    def init_params(self, key) -> dict:
+        cfg = self.cfg
+        k_d, k_a, k_b0, k_b1, k_s, k_e = jax.random.split(key, 6)
+        d_planes, d_lines = self._init_vm(k_d, cfg.density_n_comp)
+        a_planes, a_lines = self._init_vm(k_a, cfg.app_n_comp)
+        n_app = int(sum(cfg.app_n_comp))
+        bound = 1.0 / np.sqrt(n_app)
+        basis = jnp.stack([
+            jax.random.uniform(k_b0, (n_app, cfg.app_dim), minval=-bound, maxval=bound),
+            jax.random.uniform(k_b1, (n_app, cfg.app_dim), minval=-bound, maxval=bound),
+        ])
+        params = {
+            "density_planes": d_planes,
+            "density_lines": d_lines,
+            "app_planes": a_planes,
+            "app_lines": a_lines,
+            "basis": basis,
+        }
+        if self.shader.init is not None:
+            params["shader"] = self.shader.init(k_s)
+        if cfg.use_envmap:
+            params["envmap"] = init_envmap(k_e, cfg.envmap_res_h, "random")
+        return params
+
+    # ------------------------------------------------------------------
+    # field lookups (reference: models/EgoNeRF.py:232-413)
+    #
+    # TPU redesign: density (16ch) and appearance (48ch) grids share every
+    # lookup coordinate, so they are fused into one 64-channel table and
+    # fetched with ONE corner-packed gather per plane/line (see
+    # ops/vm_lookup.py for the cost model).
+    # ------------------------------------------------------------------
+    def _fused_products(self, params, norm_coords):
+        """Per-decomposition fused plane*line products.
+
+        Returns (prods list of (N, Cd+Ca), sel, shape) where the first Cd
+        channels belong to density and the rest to appearance.
+        """
+        lead_shape = norm_coords.shape[:-1]
+        flat = norm_coords.reshape(-1, norm_coords.shape[-1])
+        xyz = flat[..., :3]
+        sel = flat[..., 3].astype(jnp.int32)
+        prods = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = jnp.concatenate(
+                [params["density_planes"][i], params["app_planes"][i]], axis=-1)
+            line = jnp.concatenate(
+                [params["density_lines"][i], params["app_lines"][i]], axis=-1)
+            p = sample_plane_packed(plane, xyz[..., m0], xyz[..., m1], sel)
+            l = sample_line_packed(line, xyz[..., VEC_MODE[i]], sel)
+            prods.append(p * l)
+        return prods, sel, lead_shape
+
+    def compute_field(self, params, norm_coords):
+        """(..., 4) -> (density_feat (...,), app_feat (..., app_dim))."""
+        n_d = self.cfg.density_n_comp
+        prods, sel, lead = self._fused_products(params, norm_coords)
+        dfeat = 0.0
+        app_parts = []
+        for i, pr in enumerate(prods):
+            dfeat = dfeat + jnp.maximum(jnp.sum(pr[:, : n_d[i]], axis=-1), 0.0)
+            app_parts.append(pr[:, n_d[i] :])
+        feats = jnp.concatenate(app_parts, axis=-1)
+        yin = feats @ params["basis"][0]
+        yang = feats @ params["basis"][1]
+        app = jnp.where(sel[..., None] == 0, yin, yang)
+        return dfeat.reshape(lead), app.reshape(*lead, -1)
+
+    def compute_density_feature(self, planes, lines, norm_coords) -> jnp.ndarray:
+        """(..., 4) -> (...,) raw density: sum_i relu(sum_c plane*line).
+        Standalone density path (coarse pdf grid, alpha baking)."""
+        lead_shape = norm_coords.shape[:-1]
+        flat = norm_coords.reshape(-1, norm_coords.shape[-1])
+        xyz = flat[..., :3]
+        sel = flat[..., 3].astype(jnp.int32)
+        feat = 0.0
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            # pad channels so packed gather rows stay >=256 bytes (the
+            # <128-byte gather path is ~20x slower on v5e)
+            plane = planes[i]
+            line = lines[i]
+            pad = max(0, 32 - plane.shape[-1])
+            if pad:
+                plane = jnp.pad(plane, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                line = jnp.pad(line, ((0, 0), (0, 0), (0, pad)))
+            p = sample_plane_packed(plane, xyz[..., m0], xyz[..., m1], sel)
+            l = sample_line_packed(line, xyz[..., VEC_MODE[i]], sel)
+            feat = feat + jnp.maximum(jnp.sum(p * l, axis=-1), 0.0)
+        return feat.reshape(lead_shape)
+
+    def compute_app_feature(self, params, norm_coords) -> jnp.ndarray:
+        """(..., 4) -> (..., app_dim) — standalone appearance path."""
+        _, app = self.compute_field(params, norm_coords)
+        return app
+
+    def derive_coarse(self, params):
+        """Half-resolution sigma grid ('conv' rule) under stop_gradient —
+        the resampling pdf is treated as a constant, matching the
+        reference's detach (reference: models/EgoNeRF.py:534)."""
+        planes = [jax.lax.stop_gradient(_avg_pool_plane(p)) for p in params["density_planes"]]
+        lines = [jax.lax.stop_gradient(_avg_pool_line(l)) for l in params["density_lines"]]
+        return planes, lines
+
+    # ------------------------------------------------------------------
+    # ray sampling (reference: models/EgoNeRF.py:56-87, models/tensorBase.py:308-344)
+    # ------------------------------------------------------------------
+    def _base_sample_grid(self, n_samples: int) -> np.ndarray:
+        grid = self._sample_grid_cache.get(n_samples)
+        if grid is None:
+            near, far = self.near_far
+            grid = make_sample_r_grid(self.coordinates.r0, far - near, n_samples)
+            self._sample_grid_cache[n_samples] = grid
+        return grid
+
+    def sample_ray_exp(self, rays_o, rays_d, key, n_samples: int):
+        """Exponentially spaced depths; jittered within each interval when
+        ``key`` is given (training)."""
+        near, far = self.near_far
+        n_rays = rays_o.shape[0]
+        if self.coordinates.interval_th:
+            base = jnp.asarray(self._base_sample_grid(n_samples))
+            interval = jnp.diff(base)
+            interval = jnp.concatenate([interval, interval[-1:]])
+            r = jnp.broadcast_to(base, (n_rays, n_samples))
+            if key is not None:
+                r = r + interval[None] * jax.random.uniform(key, (n_rays, n_samples))
+            interpx = near + r
+        else:
+            ratio = 1.0 + (pi / 2.0) / n_samples
+            r0 = (far - near) * (ratio - 1.0) / (ratio ** n_samples - 1.0)
+            rng = jnp.broadcast_to(jnp.arange(n_samples, dtype=jnp.float32), (n_rays, n_samples))
+            if key is not None:
+                rng = rng + jax.random.uniform(key, (n_rays, n_samples))
+            steps = r0 * ratio ** rng
+            csum = jnp.cumsum(steps, axis=-1)
+            excl = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)
+            interpx = near + excl
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * interpx[..., None]
+        return pts, interpx
+
+    def sample_ray_linear(self, rays_o, rays_d, key, n_samples: int):
+        """Uniform steps from the aabb entry point
+        (reference: models/tensorBase.py:308-327)."""
+        near, far = self.near_far
+        n_rays = rays_o.shape[0]
+        vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+        rate_a = (jnp.asarray(self.aabb[1]) - rays_o) / vec
+        rate_b = (jnp.asarray(self.aabb[0]) - rays_o) / vec
+        t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), axis=-1), near, far)
+        rng = jnp.broadcast_to(jnp.arange(n_samples, dtype=jnp.float32), (n_rays, n_samples))
+        if key is not None:
+            rng = rng + jax.random.uniform(key, (n_rays, n_samples))
+        interpx = t_min[..., None] + self.step_size * rng
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * interpx[..., None]
+        return pts, interpx
+
+    # ------------------------------------------------------------------
+    # forward (reference: models/EgoNeRF.py:491-602)
+    # ------------------------------------------------------------------
+    def forward(self, params, rays, key=None, is_train=False, n_coarse=128,
+                n_fine=128, exp_sampling=True, resampling=True,
+                use_coarse_sample=True, pretrain_envmap=False, white_bg=True):
+        """Render a (R, 6) ray batch.
+
+        Returns dict(rgb, depth, bg, env, alpha).  ``key`` enables jitter +
+        stochastic pdf draws; pass None for deterministic eval.
+        """
+        cfg = self.cfg
+        rays_o, viewdirs = rays[:, :3], rays[:, 3:6]
+        if pretrain_envmap:
+            return {"env": envmap_radiance(params["envmap"], viewdirs)}
+
+        k_coarse = k_pdf = None
+        if is_train and key is not None:
+            k_coarse, k_pdf = jax.random.split(key)
+
+        # 1) coarse depths
+        if exp_sampling:
+            coarse_xyz, coarse_z = self.sample_ray_exp(rays_o, viewdirs, k_coarse, n_coarse)
+        else:
+            coarse_xyz, coarse_z = self.sample_ray_linear(rays_o, viewdirs, k_coarse, n_coarse)
+        coarse_dists = jnp.diff(coarse_z, axis=-1)
+        coarse_dists = jnp.concatenate([coarse_dists, coarse_dists[..., -1:]], axis=-1)
+
+        # 2) coarse chart + half-res normalization
+        coarse_coords = self.coordinates.from_cartesian(coarse_xyz)
+        coarse_norm = self.coordinates.normalize_coord(coarse_coords, downsample=2)
+
+        if resampling:
+            # 3) coarse density -> pdf over ray
+            c_planes, c_lines = self.derive_coarse(params)
+            c_feat = self.compute_density_feature(c_planes, c_lines, coarse_norm)
+            c_sigma = feature2density(c_feat, cfg)
+            _, c_weight, _ = raw2alpha(c_sigma, coarse_dists * cfg.distance_scale)
+
+            # 4) inverse-CDF resampling, merged with the coarse depths
+            z_mid = 0.5 * (coarse_z[..., 1:] + coarse_z[..., :-1])
+            fine_z = sample_pdf(z_mid, c_weight[..., 1:-1], n_fine, key=k_pdf)
+            fine_z = jax.lax.stop_gradient(fine_z)
+            if use_coarse_sample:
+                z_vals = jnp.sort(jnp.concatenate([coarse_z, fine_z], axis=-1), axis=-1)
+            else:
+                z_vals = jnp.sort(fine_z, axis=-1)
+
+            dists = jnp.diff(z_vals, axis=-1)
+            dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
+            xyz = rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
+            norm = self.coordinates.normalize_coord(self.coordinates.from_cartesian(xyz))
+        else:
+            z_vals, dists, norm = coarse_z, coarse_dists, coarse_norm
+
+        # 5) fine field evaluation + shading (one fused density+app lookup)
+        feat, app_feat = self.compute_field(params, norm)
+        sigma = feature2density(feat, cfg)
+        alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], norm.shape[:-1] + (3,))
+        rgb = self.shader.apply(params.get("shader"), norm, dirs, app_feat)
+
+        # 6) composite
+        acc = jnp.sum(weight, axis=-1)
+        rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+
+        bg_map = env_map = None
+        if cfg.use_envmap:
+            alpha = jnp.concatenate([alpha, jnp.ones_like(alpha[..., :1])], axis=-1)
+            env_map = envmap_radiance(params["envmap"], viewdirs)
+            bg_map = bg_weight * env_map
+            rgb_map = rgb_map + bg_map
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+        depth = jnp.sum(weight * z_vals, axis=-1)
+        # background fill uses the z component of the view direction — a
+        # reference quirk kept for output parity (reference:
+        # models/EgoNeRF.py:598, flagged TODO at models/tensorBase.py:508)
+        depth = jax.lax.stop_gradient(depth + (1.0 - acc) * rays[..., -1])
+
+        return {"rgb": rgb_map, "depth": depth, "bg": bg_map, "env": env_map,
+                "alpha": alpha}
+
+    # ------------------------------------------------------------------
+    # sparsity probe + grid upsampling
+    # ------------------------------------------------------------------
+    def sparsity_density(self, params, key, n_points: int) -> jnp.ndarray:
+        """Density at uniform random normalized coords, for the DirectVoxGO
+        sparsity loss (reference: train.py:267-273 — there it probes (N,3)
+        cartesian coords; here the probe covers both yin/yang charts)."""
+        k1, k2 = jax.random.split(key)
+        coords3 = jax.random.uniform(k1, (n_points, 3), minval=-1.0, maxval=1.0)
+        flag = jax.random.bernoulli(k2, 0.5, (n_points, 1)).astype(coords3.dtype)
+        norm = jnp.concatenate([coords3, flag], axis=-1)
+        feat = self.compute_density_feature(params["density_planes"],
+                                            params["density_lines"], norm)
+        return feature2density(feat, self.cfg)
+
+    def upsample_params(self, params, res_target):
+        """Resample every plane/line onto the target resolution with the
+        chart's r-aware positions (reference: models/EgoNeRF.py:415-435).
+        Returns a NEW pytree; call update_step_size + rebuild the optimizer
+        afterwards."""
+        out = dict(params)
+        for pk, lk in (("density_planes", "density_lines"), ("app_planes", "app_lines")):
+            new_planes, new_lines = [], []
+            for i in range(3):
+                m0, m1 = MAT_MODE[i]
+                new_planes.append(self.coordinates.up_sampling_VM(
+                    params[pk][i], res_target, ids=[m1, m0]))
+                new_lines.append(self.coordinates.up_sampling_VM(
+                    params[lk][i], res_target, ids=[VEC_MODE[i]]))
+            out[pk], out[lk] = new_planes, new_lines
+        return out
+
+    # ------------------------------------------------------------------
+    # regularizers (reference: models/EgoNeRF.py:189-230)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _vector_diffs(lines) -> jnp.ndarray:
+        total = 0.0
+        for l in lines:  # (2, L, C) — both grids, matching the reference's
+            for s in range(l.shape[0]):  # separate yin/yang ParameterLists
+                v = l[s].T  # (C, L)
+                gram = v @ v.T
+                n_comp = gram.shape[0]
+                off_diag = jnp.abs(gram) * (1.0 - jnp.eye(n_comp))
+                total = total + jnp.sum(off_diag) / (n_comp * (n_comp - 1))
+        return total
+
+    def vector_comp_diffs(self, params) -> jnp.ndarray:
+        return self._vector_diffs(params["density_lines"]) + self._vector_diffs(params["app_lines"])
+
+    @staticmethod
+    def density_l1(params) -> jnp.ndarray:
+        total = 0.0
+        for p, l in zip(params["density_planes"], params["density_lines"]):
+            # the stack axis holds yin+yang; per-grid means summed matches
+            # the reference's separate ParameterList terms
+            total = total + jnp.mean(jnp.abs(p)) * 2 + jnp.mean(jnp.abs(l)) * 2
+        return total
+
+    @staticmethod
+    def _tv(plane) -> jnp.ndarray:
+        """Squared-difference total variation over (S, H, W, C) planes
+        (reference: utils.py:155-171, batch dim = S here has size 2 vs the
+        reference's two size-1 calls — normalization matches)."""
+        s = plane.shape[0]
+        h_tv = jnp.sum((plane[:, 1:, :, :] - plane[:, :-1, :, :]) ** 2)
+        w_tv = jnp.sum((plane[:, :, 1:, :] - plane[:, :, :-1, :]) ** 2)
+        count_h = (plane.shape[1] - 1) * plane.shape[2] * plane.shape[3]
+        count_w = plane.shape[1] * (plane.shape[2] - 1) * plane.shape[3]
+        return 2.0 * (h_tv / count_h + w_tv / count_w) / s
+
+    def tv_loss_density(self, params) -> jnp.ndarray:
+        # reference applies TVLoss per grid and sums; with the stacked
+        # layout each call covers both grids, so scale by 2
+        return sum(self._tv(p) * 2.0 * 1e-2 for p in params["density_planes"])
+
+    def tv_loss_app(self, params) -> jnp.ndarray:
+        return sum(self._tv(p) * 2.0 * 1e-2 for p in params["app_planes"])

@@ -1,0 +1,119 @@
+"""Shading modules: the per-sample appearance decoders.
+
+Functional equivalents of the reference's render modules
+(reference: models/tensorBase.py:30-129): parameters are plain pytrees,
+``apply`` is a pure function, and the MLPs are large batched matmuls that
+map straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pe import positional_encoding
+from ..ops.sh import eval_sh_bases
+
+
+def _linear_init(key, n_in: int, n_out: int, with_bias=True, zero_bias=False):
+    """torch.nn.Linear default init: U(-1/sqrt(n_in), 1/sqrt(n_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(float(n_in)))
+    w = jax.random.uniform(kw, (n_in, n_out), minval=-bound, maxval=bound)
+    if not with_bias:
+        return {"w": w}
+    b = (jnp.zeros((n_out,)) if zero_bias
+         else jax.random.uniform(kb, (n_out,), minval=-bound, maxval=bound))
+    return {"w": w, "b": b}
+
+
+def _mlp3_apply(params, x):
+    h = jnp.maximum(x @ params["l1"]["w"] + params["l1"]["b"], 0.0)
+    h = jnp.maximum(h @ params["l2"]["w"] + params["l2"]["b"], 0.0)
+    return h @ params["l3"]["w"] + params["l3"]["b"]
+
+
+def _mlp3_init(key, n_in, hidden):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "l1": _linear_init(k1, n_in, hidden),
+        "l2": _linear_init(k2, hidden, hidden),
+        "l3": _linear_init(k3, hidden, 3, zero_bias=True),
+    }
+
+
+class Shader(NamedTuple):
+    """A shading module: ``init`` may be None for parameter-free shaders."""
+    init: Optional[Callable]
+    apply: Callable
+    name: str
+
+
+def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
+                fea_pe: int = 6, feature_c: int = 128) -> Shader:
+    """Factory matching the reference registry
+    (reference: models/tensorBase.py:188-204)."""
+    if mode == "MLP_Fea":
+        n_in = 2 * view_pe * 3 + 2 * fea_pe * app_dim + 3 + app_dim
+
+        def init(key):
+            return _mlp3_init(key, n_in, feature_c)
+
+        def apply(params, pts, viewdirs, features):
+            parts = [features, viewdirs]
+            if fea_pe > 0:
+                parts.append(positional_encoding(features, fea_pe))
+            if view_pe > 0:
+                parts.append(positional_encoding(viewdirs, view_pe))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+
+        return Shader(init, apply, mode)
+
+    if mode == "MLP_PE":
+        n_in = (3 + 2 * view_pe * 3) + (3 + 2 * pos_pe * 3) + app_dim
+
+        def init(key):
+            return _mlp3_init(key, n_in, feature_c)
+
+        def apply(params, pts, viewdirs, features):
+            parts = [features, viewdirs]
+            if pos_pe > 0:
+                parts.append(positional_encoding(pts, pos_pe))
+            if view_pe > 0:
+                parts.append(positional_encoding(viewdirs, view_pe))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+
+        return Shader(init, apply, mode)
+
+    if mode == "MLP":
+        n_in = (3 + 2 * view_pe * 3) + app_dim
+
+        def init(key):
+            return _mlp3_init(key, n_in, feature_c)
+
+        def apply(params, pts, viewdirs, features):
+            parts = [features, viewdirs]
+            if view_pe > 0:
+                parts.append(positional_encoding(viewdirs, view_pe))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+
+        return Shader(init, apply, mode)
+
+    if mode == "SH":
+        def apply(params, pts, viewdirs, features):
+            sh_mult = eval_sh_bases(2, viewdirs)[..., None, :]
+            rgb_sh = features.reshape(*features.shape[:-1], 3, sh_mult.shape[-1])
+            return jnp.maximum(jnp.sum(sh_mult * rgb_sh, axis=-1) + 0.5, 0.0)
+
+        return Shader(None, apply, mode)
+
+    if mode == "RGB":
+        assert app_dim == 3, "RGB shader needs app_dim == 3"
+
+        def apply(params, pts, viewdirs, features):
+            return features
+
+        return Shader(None, apply, mode)
+
+    raise ValueError(f"Unrecognized shading mode: {mode}")

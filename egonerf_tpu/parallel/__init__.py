@@ -1,0 +1,9 @@
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,184 @@
+"""Batch renderer + evaluation driver.
+
+The reference loops 4096-ray chunks through ``model.forward`` in Python
+(reference: renderer.py:11-79, chunk hardcoded at renderer.py:130).  Here a
+single jitted render function with a fixed chunk shape is compiled once;
+full images stream through it with tail padding, and the chunk axis can be
+sharded over the device mesh so eval scales with chips.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import batch_sharding, pad_to_multiple
+from .metrics import psnr as psnr_fn
+from .metrics import rgb_lpips, rgb_ssim, ws_ssim
+from .viz import to_uint8, visualize_depth
+
+
+class Renderer:
+    """Compiled chunked renderer for one model + render configuration."""
+
+    def __init__(self, model, chunk: int = 8192, mesh=None, **render_kwargs):
+        self.model = model
+        self.chunk = int(chunk)
+        self.mesh = mesh
+        self.render_kwargs = dict(render_kwargs)
+        self._jitted = {}
+
+    def _get_fn(self, pretrain_envmap: bool):
+        fn = self._jitted.get(pretrain_envmap)
+        if fn is None:
+            kwargs = dict(self.render_kwargs)
+
+            def render(params, rays):
+                return self.model.forward(params, rays, key=None, is_train=False,
+                                          pretrain_envmap=pretrain_envmap, **kwargs)
+
+            if self.mesh is not None:
+                sharding = batch_sharding(self.mesh)
+                fn = jax.jit(render, in_shardings=(None, sharding))
+            else:
+                fn = jax.jit(render)
+            self._jitted[pretrain_envmap] = fn
+        return fn
+
+    def render_rays(self, params, rays: np.ndarray, pretrain_envmap=False) -> dict:
+        """rays: host (N, 6) -> dict of host arrays (N, ...)."""
+        fn = self._get_fn(pretrain_envmap)
+        n = rays.shape[0]
+        n_pad = pad_to_multiple(n, self.chunk)
+        if n_pad != n:
+            rays = np.concatenate([rays, np.repeat(rays[-1:], n_pad - n, axis=0)])
+        outs = []
+        for i in range(0, n_pad, self.chunk):
+            chunk = jnp.asarray(rays[i : i + self.chunk])
+            out = fn(params, chunk)
+            outs.append({k: np.asarray(v) for k, v in out.items() if v is not None})
+        merged = {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
+        return merged
+
+
+def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
+               n_vis: int = -1, prefix: str = "", compute_extra_metrics=True,
+               envmap_only=False, save_images=True) -> list:
+    """Render the test split, compute PSNR (+SSIM/WS-SSIM/LPIPS), dump PNG /
+    rgbd / envmap artifacts and mean.txt (reference: renderer.py:82-196)."""
+    import imageio.v2 as imageio
+
+    w, h = test_dataset.img_wh
+    n_images = test_dataset.all_rays.shape[0]
+    interval = 1 if n_vis < 0 else max(n_images // n_vis, 1)
+    idxs = list(range(0, n_images, interval))
+
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        os.makedirs(os.path.join(save_path, "rgbd"), exist_ok=True)
+
+    if envmap_only:
+        rays = test_dataset.all_rays[0].reshape(-1, 6)
+        out = renderer.render_rays(params, rays, pretrain_envmap=True)
+        env = out["env"].reshape(h, w, 3)
+        if save_path:
+            imageio.imwrite(os.path.join(save_path, "pretrained_envmap.png"), to_uint8(env))
+        return []
+
+    psnrs, ssims, wssims, l_alex, l_vgg = [], [], [], [], []
+    for out_idx, img_idx in enumerate(idxs):
+        rays = test_dataset.all_rays[img_idx].reshape(-1, 6)
+        t0 = time.time()
+        out = renderer.render_rays(params, rays)
+        elapsed = time.time() - t0
+
+        rgb = out["rgb"].reshape(h, w, 3)
+        depth = out["depth"].reshape(h, w)
+        depth_vis, _ = visualize_depth(depth, test_dataset.near_far)
+
+        if len(test_dataset.all_rgbs):
+            gt = np.asarray(test_dataset.all_rgbs[img_idx]).reshape(h, w, 3)
+            psnrs.append(psnr_fn(rgb, gt))
+            if compute_extra_metrics:
+                ssims.append(rgb_ssim(rgb, gt, 1.0))
+                wssims.append(ws_ssim(rgb, gt, 1.0))
+                la = rgb_lpips(gt, rgb, "alex")
+                lv = rgb_lpips(gt, rgb, "vgg")
+                if la is not None:
+                    l_alex.append(la)
+                if lv is not None:
+                    l_vgg.append(lv)
+
+        if save_path and save_images:
+            imageio.imwrite(os.path.join(save_path, f"{prefix}{out_idx:03d}.png"), to_uint8(rgb))
+            rgbd = np.concatenate([to_uint8(rgb), depth_vis], axis=1)
+            imageio.imwrite(os.path.join(save_path, "rgbd", f"{prefix}{out_idx:03d}.png"), rgbd)
+            if out.get("env") is not None:
+                if out_idx == 0:
+                    env = out["env"].reshape(h, w, 3)
+                    imageio.imwrite(os.path.join(save_path, f"{prefix}envmap.png"), to_uint8(env))
+                bg = out["bg"].reshape(h, w, 3)
+                imageio.imwrite(os.path.join(save_path, f"{prefix}{out_idx:03d}_bg.png"), to_uint8(bg))
+        print(f"eval image {out_idx}: {elapsed:.2f}s"
+              + (f", psnr {psnrs[-1]:.2f}" if psnrs else ""))
+
+    if psnrs and save_path:
+        row = [float(np.mean(psnrs))]
+        if compute_extra_metrics:
+            row.append(float(np.mean(ssims)))
+            row.append(float(np.mean(wssims)))
+            if l_alex:
+                row.append(float(np.mean(l_alex)))
+            if l_vgg:
+                row.append(float(np.mean(l_vgg)))
+        np.savetxt(os.path.join(save_path, f"{prefix}mean.txt"), np.asarray(row))
+    return psnrs
+
+
+def evaluation_path(test_dataset, model, params, c2ws, renderer: Renderer,
+                    save_path=None, prefix: str = "") -> list:
+    """Render a novel camera trajectory and write PNG frames + (if an
+    ffmpeg backend exists) mp4 videos (reference: renderer.py:199-255)."""
+    import imageio.v2 as imageio
+
+    from ..data.ray_utils import get_rays
+
+    w, h = test_dataset.img_wh
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        os.makedirs(os.path.join(save_path, "rgbd"), exist_ok=True)
+
+    rgb_maps, depth_maps = [], []
+    directions = test_dataset.directions if hasattr(test_dataset, "directions") else None
+    if directions is None:
+        from ..data.ray_utils import get_ray_directions_360
+
+        directions = get_ray_directions_360(h, w)
+        directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+
+    for idx, c2w in enumerate(c2ws):
+        c2w = np.asarray(c2w, np.float32)
+        rays_o, rays_d = get_rays(directions, c2w)
+        rays = np.concatenate([rays_o, rays_d], -1)
+        out = renderer.render_rays(params, rays)
+        rgb = to_uint8(out["rgb"].reshape(h, w, 3))
+        depth_vis, _ = visualize_depth(out["depth"].reshape(h, w), test_dataset.near_far)
+        rgb_maps.append(rgb)
+        depth_maps.append(depth_vis)
+        if save_path:
+            imageio.imwrite(os.path.join(save_path, f"{prefix}{idx:03d}.png"), rgb)
+            imageio.imwrite(os.path.join(save_path, "rgbd", f"{prefix}{idx:03d}.png"),
+                            np.concatenate([rgb, depth_vis], axis=1))
+    if save_path:
+        try:
+            imageio.mimwrite(os.path.join(save_path, f"{prefix}video.mp4"),
+                             np.stack(rgb_maps), fps=30, quality=8)
+            imageio.mimwrite(os.path.join(save_path, f"{prefix}depthvideo.mp4"),
+                             np.stack(depth_maps), fps=30, quality=8)
+        except Exception as e:  # no ffmpeg backend in this image
+            print(f"video export skipped: {e}")
+    return rgb_maps

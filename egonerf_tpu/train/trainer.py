@@ -1,0 +1,444 @@
+"""Training driver.
+
+One jit-compiled train step covers forward, all six losses, Adam, and the
+lr schedule (reference spreads this across train.py:244-385 with a Python
+chunk loop and host-side optimizer).  Host work per iteration is just the
+ray-id draw and a sharded device_put of the (batch, 6+3) arrays; everything
+else runs on device.  On a multi-chip mesh the batch is sharded over
+``data`` and XLA inserts the gradient psum.
+
+Dynamic loss weights (the per-step TV/entropy decay, the L1 switch after
+the first alpha-mask update, the depth lambda schedule) are passed as
+device scalars so they never retrace; schedule *phase changes* (resampling
+warmup end, TV cutoff, entropy start) rebuild the step function — a handful
+of retraces per run.
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..coords import coords_from_spec, make_coordinates
+from ..data.datasets import dataset_dict
+from ..data.samplers import SimpleSampler, ThetaImportanceSampler
+from ..models import build_model, model_meta
+from ..ops.volrend import ray_entropy
+from ..parallel.mesh import batch_sharding, make_mesh, replicate_tree, replicated
+from ..render.renderer import Renderer, evaluation
+from .checkpoint import latest_checkpoint, restore_params, save_checkpoint
+from .config import Config, export_config
+from .optim import fast_forward_schedule, make_optimizer
+
+
+class MetricsLogger:
+    """JSONL scalar log + optional TensorBoard (torch SummaryWriter when
+    available) — covers the reference's SummaryWriter usage
+    (reference: train.py:111,320-321)."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self._tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+
+    def scalar(self, tag: str, value: float, step: int):
+        self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, global_step=step)
+
+    def flush(self):
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        np.random.seed(cfg.seed)
+
+        # -- datasets ---------------------------------------------------
+        ds_cls = dataset_dict[cfg.dataset_name]
+        common = dict(
+            data_dir=cfg.datadir,
+            near_far=cfg.near_far,
+            roi=cfg.roi,
+            localization_method=cfg.localization_method,
+            use_gt_depth=cfg.use_gt_depth,
+        )
+        self.train_dataset = ds_cls(split="train", is_stack=False,
+                                    downsample=cfg.downsample_train, **common)
+        self.test_dataset = ds_cls(split="test", is_stack=True,
+                                   downsample=cfg.downsample_test,
+                                   skip=cfg.test_skip, **common)
+        self.near_far = self.train_dataset.near_far
+        self.white_bg = self.train_dataset.white_bg
+        aabb = self.train_dataset.scene_bbox
+
+        # -- logdir -----------------------------------------------------
+        stamp = datetime.datetime.now().strftime("-%Y%m%d-%H%M%S") if cfg.add_timestamp else ""
+        self.logdir = os.path.join(cfg.basedir, cfg.expname + stamp)
+        os.makedirs(os.path.join(self.logdir, "imgs_vis"), exist_ok=True)
+        export_config(cfg, self.logdir)
+        self.log = MetricsLogger(self.logdir)
+
+        # -- mesh -------------------------------------------------------
+        n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else None
+        self.mesh = make_mesh(n_dev)
+        self.multi_device = self.mesh.devices.size > 1
+
+        # -- coordinates + model ---------------------------------------
+        self.start_step = 0
+        ckpt_path = cfg.ckpt or latest_checkpoint(self.logdir)
+        if ckpt_path:
+            # auto-resume from the newest checkpoint (reference: train.py:149-160)
+            print(f"resuming from {ckpt_path}")
+            from .checkpoint import load_checkpoint
+
+            _, header, _ = load_checkpoint(ckpt_path)
+            self.coords = coords_from_spec(header["coords_spec"])
+            reso = self.coords.resolution
+            self.model = build_model(cfg, aabb, reso, self.coords, self.near_far,
+                                     meta=header.get("model_meta"))
+            template = self.model.init_params(jax.random.PRNGKey(cfg.seed))
+            self.params, header, _ = restore_params(template, ckpt_path)
+            self.start_step = int(header["global_step"])
+        else:
+            self.coords = make_coordinates(
+                cfg.coordinates_name, aabb, exp_r=cfg.exp_sampling,
+                N_voxel=cfg.N_voxel_init, r0=cfg.r0, interval_th=cfg.interval_th)
+            reso = (self.coords.resolution if self.coords.resolution is not None
+                    else self.coords.N_to_reso(cfg.N_voxel_init))
+            if self.coords.resolution is None:
+                self.coords.set_resolution(reso)
+            self.model = build_model(cfg, aabb, reso, self.coords, self.near_far)
+            self.params = self.model.init_params(jax.random.PRNGKey(cfg.seed))
+        self.reso_cur = list(self.coords.resolution)
+
+        if self.multi_device:
+            self.params = replicate_tree(self.mesh, self.params)
+
+        # -- optimizer --------------------------------------------------
+        self.decay_iters = cfg.lr_decay_iters if cfg.lr_decay_iters > 0 else cfg.n_iters
+        self._build_optimizer(lr_scale=1.0,
+                              lr_envmap=(cfg.lr_envmap_pretrain
+                                         if cfg.iter_pretrain_envmap > 0 else cfg.lr_envmap))
+        if self.start_step:
+            self.opt_state = fast_forward_schedule(self.opt_state, self.start_step)
+
+        # -- sampler ----------------------------------------------------
+        n_rays_total = self.train_dataset.all_rays.shape[0]
+        if cfg.sampling_method == "simple":
+            self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
+        elif cfg.sampling_method == "theta_importance":
+            img_len = n_rays_total // int(np.prod(self.train_dataset.img_wh))
+            self.sampler = ThetaImportanceSampler(
+                cfg.theta_importance_lambda, img_len, self.train_dataset.img_wh,
+                cfg.batch_size, self.train_dataset.roi, seed=cfg.seed)
+        else:
+            raise ValueError(f"sampling method {cfg.sampling_method} not supported")
+
+        # voxel upsample schedule: log-linear (reference: train.py:189)
+        ups = cfg.upsamp_list or []
+        self.upsamp_list = [u for u in ups if u < cfg.n_iters]
+        n_steps = len(ups) + 1
+        self.n_voxel_list = np.round(np.exp(np.linspace(
+            np.log(cfg.N_voxel_init), np.log(cfg.N_voxel_final), n_steps))).astype(np.int64).tolist()[1:]
+
+        self.renderer = Renderer(
+            self.model, chunk=cfg.eval_chunk, mesh=self.mesh if self.multi_device else None,
+            n_coarse=cfg.n_coarse, n_fine=(cfg.n_fine if cfg.resampling else 0),
+            exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
+            use_coarse_sample=cfg.use_coarse_sample, white_bg=self.white_bg)
+
+        self._step_cache = {}
+        self.lr_factor = cfg.lr_decay_target_ratio ** (1.0 / self.decay_iters)
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self, lr_scale: float, lr_envmap: Optional[float] = None):
+        cfg = self.cfg
+        self.tx = make_optimizer(
+            self.params, cfg.lr_init * lr_scale, cfg.lr_basis * lr_scale,
+            (lr_envmap if lr_envmap is not None else cfg.lr_envmap) * lr_scale,
+            decay_target_ratio=cfg.lr_decay_target_ratio,
+            decay_iters=self.decay_iters)
+        self.opt_state = self.tx.init(self.params)
+        if self.multi_device:
+            self.opt_state = replicate_tree(self.mesh, self.opt_state)
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+    def _make_step(self, *, resampling: bool, tv_on: bool, entropy_on: bool,
+                   envmap_pretrain: bool = False):
+        """Build one jitted step for a schedule phase."""
+        cfg = self.cfg
+        model = self.model
+        tx = self.tx
+
+        def step(params, opt_state, rays, rgbs, key, dyn):
+            def loss_fn(p):
+                if envmap_pretrain:
+                    out = model.forward(p, rays, pretrain_envmap=True)
+                    mse = jnp.mean((out["env"] - rgbs) ** 2)
+                    return mse, (mse, None)
+                out = model.forward(
+                    p, rays, key=key, is_train=True, n_coarse=cfg.n_coarse,
+                    n_fine=cfg.n_fine, exp_sampling=cfg.exp_sampling,
+                    resampling=resampling, use_coarse_sample=cfg.use_coarse_sample,
+                    white_bg=self.white_bg)
+                mse = jnp.mean((out["rgb"] - rgbs) ** 2)
+                total = mse
+                if cfg.sparsity_lambda > 0:
+                    sp = model.sparsity_density(p, key, cfg.N_sparsity_points)
+                    loss_sp = 1.0 - jnp.mean(jnp.exp(-cfg.sparsity_length * sp))
+                    total = total + cfg.sparsity_lambda * loss_sp
+                if cfg.Ortho_weight > 0:
+                    total = total + cfg.Ortho_weight * model.vector_comp_diffs(p)
+                total = total + dyn["l1_w"] * model.density_l1(p)
+                if tv_on and cfg.TV_weight_density > 0:
+                    total = total + dyn["tv_density_w"] * model.tv_loss_density(p)
+                if tv_on and cfg.TV_weight_app > 0:
+                    total = total + dyn["tv_app_w"] * model.tv_loss_app(p)
+                if entropy_on and cfg.entropy_weight > 0:
+                    total = total + dyn["entropy_w"] * ray_entropy(out["alpha"])
+                if cfg.use_depth:
+                    mask = dyn["depth_mask"]
+                    dloss = jnp.sum(mask * (out["depth"] - dyn["depth_gt"]) ** 2) / (
+                        jnp.sum(mask) + 1e-8)
+                    total = total + dyn["depth_w"] * dloss
+                return total, (mse, None)
+
+            (loss, (mse, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, mse
+
+        if self.multi_device:
+            bs = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(step, donate_argnums=(0, 1),
+                           in_shardings=(rep, rep, bs, bs, rep, rep),
+                           out_shardings=(rep, rep, rep))
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _get_step(self, iteration: int, envmap_pretrain=False):
+        cfg = self.cfg
+        phase = (
+            envmap_pretrain,
+            cfg.resampling and iteration > cfg.iter_ignore_resampling,
+            iteration < cfg.iter_ignore_TV,
+            iteration > cfg.iter_ignore_entropy,
+        )
+        fn = self._step_cache.get(phase)
+        if fn is None:
+            fn = self._make_step(resampling=phase[1], tv_on=phase[2],
+                                 entropy_on=phase[3], envmap_pretrain=phase[0])
+            self._step_cache[phase] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def _gather_batch(self, ids):
+        rays = self.train_dataset.all_rays[ids]
+        rgbs = self.train_dataset.all_rgbs[ids]
+        if self.multi_device:
+            sh = batch_sharding(self.mesh)
+            return (jax.device_put(rays, sh), jax.device_put(rgbs, sh))
+        return jnp.asarray(rays), jnp.asarray(rgbs)
+
+    def _dyn_weights(self, iteration: int, tv_d: float, tv_a: float, ent: float,
+                     l1_w: float, ids=None):
+        cfg = self.cfg
+        dyn = {
+            "tv_density_w": jnp.float32(tv_d),
+            "tv_app_w": jnp.float32(tv_a),
+            "entropy_w": jnp.float32(ent),
+            "l1_w": jnp.float32(l1_w),
+        }
+        if cfg.use_depth:
+            depth = self.train_dataset.all_depths[ids].reshape(-1)
+            lam = cfg.depth_lambda * cfg.depth_rate ** (iteration // cfg.depth_step_size)
+            if cfg.depth_end_iter is not None and iteration > cfg.depth_end_iter:
+                lam = 0.0
+            dyn["depth_gt"] = jnp.asarray(depth)
+            dyn["depth_mask"] = jnp.asarray((depth != 0).astype(np.float32))
+            dyn["depth_w"] = jnp.float32(lam)
+        return dyn
+
+    # ------------------------------------------------------------------
+    def pretrain_envmap(self):
+        """Fit the envmap alone to the training images before volume
+        training (reference: train.py:218-242)."""
+        cfg = self.cfg
+        if not (cfg.use_envmap and cfg.iter_pretrain_envmap > 0):
+            return
+        print(f"pretraining envmap for {cfg.iter_pretrain_envmap} iters")
+        step_fn = self._get_step(0, envmap_pretrain=True)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        dyn = self._dyn_weights(0, 0, 0, 0, 0)
+        for it in range(cfg.iter_pretrain_envmap):
+            ids = self.sampler.nextids()
+            rays, rgbs = self._gather_batch(ids)
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, mse = step_fn(
+                self.params, self.opt_state, rays, rgbs, sub, dyn)
+            if it % 200 == 199:
+                print(f"  envmap pretrain {it}: mse {float(mse):.5f}")
+        evaluation(self.test_dataset, self.model, self.params, self.renderer,
+                   save_path=os.path.join(self.logdir, "imgs_vis"),
+                   envmap_only=True)
+        # reset optimizer with the post-pretrain envmap lr (reference: train.py:241-242)
+        self._build_optimizer(lr_scale=1.0, lr_envmap=cfg.lr_envmap)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        self.pretrain_envmap()
+
+        vis_list = set(cfg.vis_list or [])
+        update_alpha_list = cfg.update_AlphaMask_list or []
+        tv_d, tv_a, ent = cfg.TV_weight_density, cfg.TV_weight_app, cfg.entropy_weight
+        l1_w = cfg.L1_weight_initial
+        key = jax.random.PRNGKey(cfg.seed + 2)
+        psnrs, psnrs_test = [], [0.0]
+        t_start, rays_done = time.time(), 0
+
+        for iteration in range(self.start_step, cfg.n_iters):
+            ids = self.sampler.nextids()
+            rays, rgbs = self._gather_batch(ids)
+            key, sub = jax.random.split(key)
+
+            # per-step decay of TV/entropy weights (reference: train.py:295-310)
+            if tv_d > 0 and iteration < cfg.iter_ignore_TV:
+                tv_d *= self.lr_factor
+            if tv_a > 0 and iteration < cfg.iter_ignore_TV:
+                tv_a *= self.lr_factor
+            if ent > 0 and iteration > cfg.iter_ignore_entropy:
+                ent *= self.lr_factor
+
+            step_fn = self._get_step(iteration)
+            dyn = self._dyn_weights(iteration, tv_d, tv_a, ent, l1_w, ids)
+            self.params, self.opt_state, mse = step_fn(
+                self.params, self.opt_state, rays, rgbs, sub, dyn)
+
+            rays_done += cfg.batch_size
+            if iteration % cfg.progress_refresh_rate == 0:
+                mse_v = float(mse)
+                psnr = -10.0 * np.log(max(mse_v, 1e-12)) / np.log(10.0)
+                psnrs.append(psnr)
+                self.log.scalar("train/PSNR", psnr, iteration)
+                self.log.scalar("train/mse", mse_v, iteration)
+                elapsed = time.time() - t_start
+                print(f"iter {iteration:06d} psnr {np.mean(psnrs):.2f} "
+                      f"test {np.mean(psnrs_test):.2f} mse {mse_v:.6f} "
+                      f"rays/s {rays_done / max(elapsed, 1e-9):,.0f}")
+                psnrs = []
+
+            if (iteration + 1) in vis_list and cfg.N_vis != 0:
+                psnrs_test = evaluation(
+                    self.test_dataset, self.model, self.params, self.renderer,
+                    save_path=os.path.join(self.logdir, "imgs_vis"),
+                    prefix=f"{iteration:06d}_", n_vis=cfg.N_vis,
+                    compute_extra_metrics=False)
+                if psnrs_test:
+                    self.log.scalar("test/psnr", float(np.mean(psnrs_test)), iteration)
+                t_start, rays_done = time.time(), 0
+
+            if iteration % cfg.i_weights == 0 and iteration != 0:
+                self.save(os.path.join(self.logdir, f"{cfg.expname}_{iteration:06d}.npz"),
+                          iteration)
+
+            if update_alpha_list and iteration in update_alpha_list:
+                if hasattr(self.model, "update_alpha_mask"):
+                    reso_mask = [min(r, 128) for r in self.reso_cur]
+                    self.model.update_alpha_mask(self.params, reso_mask)
+                if iteration == update_alpha_list[0]:
+                    l1_w = cfg.L1_weight_rest
+
+            if iteration in self.upsamp_list:
+                self._upsample(iteration)
+
+        self.save(os.path.join(self.logdir, f"{cfg.expname}.npz"), cfg.n_iters)
+        self.log.flush()
+
+        if cfg.render_test:
+            out_dir = os.path.join(self.logdir, "imgs_test_all")
+            psnrs_test = evaluation(self.test_dataset, self.model, self.params,
+                                    self.renderer, save_path=out_dir, n_vis=-1)
+            print(f"======> {cfg.expname} test all psnr: {np.mean(psnrs_test)} <====")
+            return psnrs_test
+        return psnrs_test
+
+    # ------------------------------------------------------------------
+    def _upsample(self, iteration: int):
+        """Grid upsample schedule: resample params onto a larger grid,
+        reset coords resolution + optimizer (reference: train.py:371-385)."""
+        cfg = self.cfg
+        n_voxels = self.n_voxel_list.pop(0)
+        reso = self.coords.N_to_reso(n_voxels)
+        print(f"upsampling grid to {reso} at iter {iteration}")
+        self.params = self.model.upsample_params(self.params, reso)
+        self.coords.set_resolution(reso)
+        self.model.update_step_size(reso)
+        self.reso_cur = list(reso)
+        if self.multi_device:
+            self.params = replicate_tree(self.mesh, self.params)
+        lr_scale = (1.0 if cfg.lr_upsample_reset
+                    else cfg.lr_decay_target_ratio ** (iteration / cfg.n_iters))
+        self._build_optimizer(lr_scale=lr_scale)
+        self.renderer._jitted = {}
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, global_step: int):
+        save_checkpoint(
+            path, jax.device_get(self.params), global_step=global_step,
+            coords_spec=self.coords.to_spec(),
+            model_meta=model_meta(self.cfg, self.model))
+        print(f"saved checkpoint {path}")
+
+
+def render_test(cfg: Config):
+    """Evaluation entry: restore the newest/explicit checkpoint and run the
+    full test set (reference: train.py:23-69)."""
+    ds_cls = dataset_dict[cfg.dataset_name]
+    test_dataset = ds_cls(
+        data_dir=cfg.datadir, split="test", is_stack=True, downsample=1,
+        near_far=cfg.near_far, roi=cfg.roi,
+        localization_method=cfg.localization_method, skip=1)
+
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    ckpt_path = cfg.ckpt or latest_checkpoint(logdir)
+    if not ckpt_path or not os.path.exists(ckpt_path):
+        print("the ckpt path does not exist!")
+        return None
+
+    from .checkpoint import load_checkpoint
+
+    _, header, _ = load_checkpoint(ckpt_path)
+    coords = coords_from_spec(header["coords_spec"])
+    model = build_model(cfg, test_dataset.scene_bbox, coords.resolution, coords,
+                        test_dataset.near_far, meta=header.get("model_meta"))
+    template = model.init_params(jax.random.PRNGKey(0))
+    params, header, _ = restore_params(template, ckpt_path)
+
+    renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
+                        n_fine=(cfg.n_fine if cfg.resampling else 0),
+                        exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
+                        use_coarse_sample=cfg.use_coarse_sample,
+                        white_bg=test_dataset.white_bg)
+    out_dir = os.path.join(logdir, "evaluation")
+    return evaluation(test_dataset, model, params, renderer, save_path=out_dir,
+                      n_vis=-1, compute_extra_metrics=True)

@@ -1,0 +1,110 @@
+"""End-to-end slice: train EgoNeRF on the procedural scene via the full
+Trainer and watch the loss fall; checkpoint round-trip; multi-device step.
+
+This is the framework's replacement for the reference's metric-based
+manual verification (SURVEY.md §4)."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egonerf_tpu.train.config import load_config
+from egonerf_tpu.train.trainer import Trainer
+
+
+def tiny_cfg(tmp_path, **over):
+    base = dict(
+        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
+        exp_sampling=True, interval_th=True, r0="0.05", resampling=True,
+        use_coarse_sample=True, n_coarse=16, n_fine=16, batch_size=512,
+        n_iters=100, N_voxel_init=24**3, N_voxel_final=24**3,
+        n_lamb_sigma="[4,4,4]", n_lamb_sh="[8,8,8]", data_dim_color=12,
+        shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
+        featureC=32, view_pe=2, fea_pe=2,
+        lr_init=0.02, lr_basis=1e-3, sparsity_lambda=0,
+        near_far="[0.05, 8.5]", progress_refresh_rate=10,
+        basedir=str(tmp_path), expname="e2e", N_vis=0, i_weights=10**7,
+        eval_chunk=512,
+    )
+    base.update(over)
+    return load_config(overrides=base)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = tiny_cfg(tmp)
+    trainer = Trainer(cfg)
+    # record initial loss by running one eval-style mse
+    trainer.train()
+    return trainer, tmp
+
+
+def test_training_reduces_loss(trained):
+    trainer, tmp = trained
+    metrics = [l for l in open(os.path.join(trainer.logdir, "metrics.jsonl"))]
+    import json
+
+    mses = [json.loads(l)["value"] for l in metrics if json.loads(l)["tag"] == "train/mse"]
+    assert len(mses) >= 3
+    assert mses[-1] < mses[0] * 0.7, f"mse did not fall: {mses[0]} -> {mses[-1]}"
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, tmp = trained
+    from egonerf_tpu.train.checkpoint import restore_params
+
+    path = os.path.join(trainer.logdir, "roundtrip.npz")
+    trainer.save(path, 40)
+    template = trainer.model.init_params(jax.random.PRNGKey(9))
+    restored, header, _ = restore_params(template, path)
+    assert header["global_step"] == 40
+    orig = jax.device_get(trainer.params)
+    rest = jax.device_get(restored)
+    for a, b in zip(jax.tree_util.tree_leaves(orig), jax.tree_util.tree_leaves(rest)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # coordinate spec reproduces identical normalization
+    from egonerf_tpu.coords import coords_from_spec
+
+    coords2 = coords_from_spec(header["coords_spec"])
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (32, 3)).astype(np.float32))
+    a = np.asarray(trainer.coords.normalize_coord(trainer.coords.from_cartesian(pts)))
+    b = np.asarray(coords2.normalize_coord(coords2.from_cartesian(pts)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_resume_continues_from_checkpoint(trained, tmp_path):
+    trainer, tmp = trained
+    cfg = tiny_cfg(tmp_path, n_iters=4)
+    # plant the old checkpoint in the new logdir and resume from it
+    os.makedirs(os.path.join(str(tmp_path), "e2e"), exist_ok=True)
+    trainer.save(os.path.join(str(tmp_path), "e2e", "ck_000002.npz"), 2)
+    t2 = Trainer(cfg)
+    assert t2.start_step == 2
+    t2.train()  # runs the remaining 2 iters without error
+
+
+def test_multidevice_step_matches_shapes(trained):
+    """The driver separately dry-runs the sharded path; here we check the
+    trainer wires a mesh when >1 device is visible."""
+    trainer, _ = trained
+    assert jax.device_count() == 8  # conftest forces the virtual CPU mesh
+    assert trainer.mesh.devices.size == 8
+    assert trainer.multi_device
+
+
+def test_evaluation_produces_images(trained):
+    trainer, tmp = trained
+    from egonerf_tpu.render.renderer import evaluation
+
+    out_dir = os.path.join(trainer.logdir, "eval_test")
+    psnrs = evaluation(trainer.test_dataset, trainer.model, trainer.params,
+                       trainer.renderer, save_path=out_dir, n_vis=1,
+                       compute_extra_metrics=True)
+    assert len(psnrs) >= 1
+    assert os.path.exists(os.path.join(out_dir, "000.png"))
+    assert os.path.exists(os.path.join(out_dir, "mean.txt"))
+    vals = np.loadtxt(os.path.join(out_dir, "mean.txt"))
+    assert np.isfinite(np.atleast_1d(vals)).all()

@@ -1,0 +1,178 @@
+"""Op-level golden tests.
+
+The bilinear samplers are checked bit-for-bit against
+``torch.nn.functional.grid_sample`` (CPU) — the exact kernel the reference
+leans on — without sharing any implementation code."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egonerf_tpu.ops import (
+    eval_sh_bases,
+    positional_encoding,
+    raw2alpha,
+    ray_entropy,
+    sample_line,
+    sample_plane,
+    sample_pdf,
+    sample_volume,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def test_sample_plane_matches_torch_grid_sample():
+    rng = np.random.default_rng(0)
+    c, h, w, n = 6, 17, 23, 500
+    img = rng.normal(size=(1, c, h, w)).astype(np.float32)
+    # include out-of-range coords to exercise zeros padding
+    x = rng.uniform(-1.3, 1.3, n).astype(np.float32)
+    y = rng.uniform(-1.3, 1.3, n).astype(np.float32)
+
+    grid = torch.from_numpy(np.stack([x, y], -1)).view(1, n, 1, 2)
+    want = F.grid_sample(torch.from_numpy(img), grid, align_corners=True)
+    want = want.view(c, n).T.numpy()
+
+    planes = jnp.asarray(img.transpose(0, 2, 3, 1))  # (1, H, W, C)
+    got = np.asarray(sample_plane(planes, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_plane_stacked_selector():
+    rng = np.random.default_rng(1)
+    c, h, w, n = 4, 9, 11, 300
+    imgs = rng.normal(size=(2, c, h, w)).astype(np.float32)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = rng.uniform(-1, 1, n).astype(np.float32)
+    sel = rng.integers(0, 2, n).astype(np.int32)
+
+    want = np.zeros((n, c), np.float32)
+    for s in range(2):
+        grid = torch.from_numpy(np.stack([x, y], -1)).view(1, n, 1, 2)
+        out = F.grid_sample(torch.from_numpy(imgs[s : s + 1]), grid, align_corners=True)
+        out = out.view(c, n).T.numpy()
+        want[sel == s] = out[sel == s]
+
+    planes = jnp.asarray(imgs.transpose(0, 2, 3, 1))
+    got = np.asarray(sample_plane(planes, jnp.asarray(x), jnp.asarray(y), jnp.asarray(sel)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_line_matches_torch():
+    """The reference samples lines as a 2-D grid_sample with x pinned to 0
+    on a (C, L, 1) image (reference: models/EgoNeRF.py:311-313)."""
+    rng = np.random.default_rng(2)
+    c, l, n = 5, 31, 400
+    line = rng.normal(size=(1, c, l, 1)).astype(np.float32)
+    coord = rng.uniform(-1.2, 1.2, n).astype(np.float32)
+
+    grid = torch.from_numpy(np.stack([np.zeros_like(coord), coord], -1)).view(1, n, 1, 2)
+    want = F.grid_sample(torch.from_numpy(line), grid, align_corners=True).view(c, n).T.numpy()
+
+    lines = jnp.asarray(line[:, :, :, 0].transpose(0, 2, 1))  # (1, L, C)
+    got = np.asarray(sample_line(lines, jnp.asarray(coord)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_volume_matches_torch():
+    rng = np.random.default_rng(3)
+    d, h, w, n = 7, 9, 11, 200
+    vol = rng.normal(size=(1, 1, d, h, w)).astype(np.float32)
+    x = rng.uniform(-1.1, 1.1, n).astype(np.float32)
+    y = rng.uniform(-1.1, 1.1, n).astype(np.float32)
+    z = rng.uniform(-1.1, 1.1, n).astype(np.float32)
+
+    grid = torch.from_numpy(np.stack([x, y, z], -1)).view(1, n, 1, 1, 3)
+    want = F.grid_sample(torch.from_numpy(vol), grid, align_corners=True).view(n).numpy()
+
+    volume = jnp.asarray(vol.transpose(0, 2, 3, 4, 1))  # (1, D, H, W, C)
+    got = np.asarray(sample_volume(volume, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)))[:, 0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_plane_gradients_flow():
+    planes = jnp.ones((2, 8, 8, 3))
+    x = jnp.asarray([0.1, -0.5])
+    y = jnp.asarray([0.3, 0.9])
+    sel = jnp.asarray([0, 1], jnp.int32)
+
+    def loss(p):
+        return jnp.sum(sample_plane(p, x, y, sel) ** 2)
+
+    g = jax.grad(loss)(planes)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_raw2alpha_against_bruteforce():
+    rng = np.random.default_rng(4)
+    sigma = jnp.asarray(rng.uniform(0, 3, size=(16, 24)).astype(np.float32))
+    dist = jnp.asarray(rng.uniform(0.01, 0.2, size=(16, 24)).astype(np.float32))
+    alpha, weights, bg = raw2alpha(sigma, dist)
+
+    a = 1 - np.exp(-np.asarray(sigma) * np.asarray(dist))
+    t = np.ones((16,))
+    w_ref = np.zeros_like(a)
+    for i in range(a.shape[1]):
+        w_ref[:, i] = a[:, i] * t
+        t = t * (1 - a[:, i] + 1e-10)
+    np.testing.assert_allclose(np.asarray(alpha), a, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(weights), w_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg)[:, 0], t, atol=1e-5)
+    # weights + background mass telescopes to ~1
+    np.testing.assert_allclose(np.asarray(weights).sum(-1) + t, 1.0, atol=1e-3)
+
+
+def test_sample_pdf_deterministic_inverse_cdf():
+    """Eval-mode sampling must concentrate where the pdf mass is."""
+    n_rays, n_bins = 8, 64
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_bins), (n_rays, n_bins))
+    w = np.zeros((n_rays, n_bins - 1), np.float32)
+    w[:, 20:30] = 1.0  # all mass in [bins[20], bins[30]]
+    samples = np.asarray(sample_pdf(bins, jnp.asarray(w), 32, key=None))
+    assert samples.shape == (8, 32)
+    lo, hi = float(bins[0, 19]), float(bins[0, 31])
+    # the 1e-5 pdf floor (reference: dataLoader/ray_utils.py:159) leaks the
+    # u=0 / u=1 endpoints to the support edges; all interior samples must
+    # land in the mass region
+    inside = (samples >= lo - 1e-4) & (samples <= hi + 1e-4)
+    assert inside.mean() > 0.9
+    assert samples.min() >= float(bins[0, 0]) - 1e-6
+    assert samples.max() <= float(bins[0, -1]) + 1e-6
+    assert np.all(np.diff(samples, axis=-1) >= -1e-6)
+
+
+def test_sample_pdf_train_mode_in_support():
+    n_rays, n_bins = 4, 32
+    bins = jnp.broadcast_to(jnp.linspace(2.0, 5.0, n_bins), (n_rays, n_bins))
+    w = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (n_rays, n_bins - 1)).astype(np.float32))
+    samples = np.asarray(sample_pdf(bins, w, 64, key=jax.random.PRNGKey(0)))
+    assert samples.min() >= 2.0 - 1e-5 and samples.max() <= 5.0 + 1e-5
+
+
+def test_positional_encoding_layout():
+    """(D, F) flattening then [sin | cos] blocks (reference: models/tensorBase.py:14-19)."""
+    pos = jnp.asarray([[0.5, -1.0]])
+    out = np.asarray(positional_encoding(pos, 3))
+    assert out.shape == (1, 12)
+    expect_args = np.array([0.5, 1.0, 2.0, -1.0, -2.0, -4.0])
+    np.testing.assert_allclose(out[0, :6], np.sin(expect_args), atol=1e-6)
+    np.testing.assert_allclose(out[0, 6:], np.cos(expect_args), atol=1e-6)
+
+
+def test_sh_bases_low_degrees():
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    b = np.asarray(eval_sh_bases(2, dirs))
+    assert b.shape == (2, 9)
+    np.testing.assert_allclose(b[:, 0], 0.28209479, atol=1e-6)
+    np.testing.assert_allclose(b[0, 2], 0.48860251, atol=1e-6)  # C1 * z
+    np.testing.assert_allclose(b[1, 3], -0.48860251, atol=1e-6)  # -C1 * x
+    np.testing.assert_allclose(b[0, 6], 0.31539157 * 2.0, atol=1e-6)  # C2[2]*(2z^2-x^2-y^2)
+
+
+def test_ray_entropy_uniform_is_max():
+    flat = jnp.full((4, 16), 0.25)
+    peaked = jnp.asarray(np.eye(16, dtype=np.float32)[None, 0] * np.ones((4, 1), np.float32))
+    assert float(ray_entropy(flat)) > float(ray_entropy(peaked))
