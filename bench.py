@@ -10,12 +10,14 @@ N_voxel=27e6 and batch 4096 (reference: configs/EgoNeRF/common.txt:6-23).
 our recorded estimate of the reference implementation's training rate).
 """
 import json
+import os
 import time
 
 import numpy as np
 
 
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
+COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "float32")
 
 
 def main():
@@ -35,7 +37,8 @@ def main():
                                     r0=0.03, interval_th=True)
     cfg = FieldConfig(density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
                       app_dim=27, shading_mode="MLP_Fea", view_pe=2, fea_pe=2,
-                      feature_c=128, density_shift=-8.0)
+                      feature_c=128, density_shift=-8.0,
+                      compute_dtype=COMPUTE_DTYPE)
     model = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=(0.01, 15.0))
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -50,8 +53,7 @@ def main():
     rays = jnp.asarray(np.concatenate([o, d], -1))
     target = jnp.asarray(rng.uniform(0, 1, size=(batch, 3)).astype(np.float32))
 
-    @jax.jit
-    def step(params, opt_state, rays, target, key):
+    def one_step(params, opt_state, key):
         def loss_fn(p):
             out = model.forward(p, rays, key=key, is_train=True,
                                 n_coarse=n_coarse, n_fine=n_fine,
@@ -63,22 +65,37 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # production loop shape: 8 optimizer steps fused per dispatch, matching
+    # the trainer's lax.scan chunking
+    k_fused = 8
+
+    @jax.jit
+    def multi_step(params, opt_state, key):
+        def body(carry, k):
+            p, s = carry
+            p, s, loss = one_step(p, s, k)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, k_fused))
+        return params, opt_state, losses[-1]
+
     key = jax.random.PRNGKey(0)
     # warmup + compile (float() forces a real device sync — on some
     # platforms block_until_ready returns before execution completes)
     key, sub = jax.random.split(key)
-    params, opt_state, loss = step(params, opt_state, rays, target, sub)
+    params, opt_state, loss = multi_step(params, opt_state, sub)
     _ = float(loss)
 
-    n_iters = 30
+    n_calls = 6
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(n_calls):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, rays, target, sub)
+        params, opt_state, loss = multi_step(params, opt_state, sub)
     _ = float(loss)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = batch * n_iters / dt
+    rays_per_sec = batch * n_calls * k_fused / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from ..coords.expgrid import make_sample_r_grid
 from ..coords.yinyang import YinYangSphericalCoords
 from ..ops.pdf import sample_pdf
-from ..ops.vm_lookup import sample_line_packed, sample_plane_packed
+from ..ops.vm_lookup import (
+    sample_line_packed,
+    sample_plane_packed,
+    sample_plane_packed_fastgrad,
+)
 from ..ops.volrend import raw2alpha
 from .envmap import envmap_radiance, init_envmap
 from .shading import make_shader
@@ -173,6 +177,8 @@ class EgoNeRF:
         flat = norm_coords.reshape(-1, norm_coords.shape[-1])
         xyz = flat[..., :3]
         sel = flat[..., 3].astype(jnp.int32)
+        plane_fn = (sample_plane_packed_fastgrad
+                    if self.cfg.compute_dtype == "bfloat16" else sample_plane_packed)
         prods = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
@@ -180,7 +186,7 @@ class EgoNeRF:
                 [params["density_planes"][i], params["app_planes"][i]], axis=-1)
             line = jnp.concatenate(
                 [params["density_lines"][i], params["app_lines"][i]], axis=-1)
-            p = sample_plane_packed(plane, xyz[..., m0], xyz[..., m1], sel)
+            p = plane_fn(plane, xyz[..., m0], xyz[..., m1], sel)
             l = sample_line_packed(line, xyz[..., VEC_MODE[i]], sel)
             prods.append(p * l)
         return prods, sel, lead_shape
@@ -294,12 +300,17 @@ class EgoNeRF:
     # ------------------------------------------------------------------
     def forward(self, params, rays, key=None, is_train=False, n_coarse=128,
                 n_fine=128, exp_sampling=True, resampling=True,
-                use_coarse_sample=True, pretrain_envmap=False, white_bg=True):
+                use_coarse_sample=True, pretrain_envmap=False, white_bg=True,
+                ndc_ray=False, **_):
         """Render a (R, 6) ray batch.
 
         Returns dict(rgb, depth, bg, env, alpha).  ``key`` enables jitter +
         stochastic pdf draws; pass None for deterministic eval.
         """
+        if ndc_ray:
+            raise NotImplementedError(
+                "NDC rays are not supported by the egocentric model "
+                "(reference: models/EgoNeRF.py:504)")
         cfg = self.cfg
         rays_o, viewdirs = rays[:, :3], rays[:, 3:6]
         if pretrain_envmap:

@@ -171,6 +171,31 @@ def _plane_bwd(res, dout):
 sample_plane_packed.defvjp(_plane_fwd, _plane_bwd)
 
 
+@jax.custom_vjp
+def sample_plane_packed_fastgrad(plane, x, y, sel):
+    """Same forward as :func:`sample_plane_packed`, but the backward
+    scatters cotangents in ONE bf16 512-byte op per plane instead of two
+    f32 chunks (~1.6x faster backward).  bf16 scatter-add rounds each
+    accumulation, so cells hit by very many samples (the near-field radial
+    cells) lose gradient precision — opt-in via compute_dtype='bfloat16'."""
+    out, _ = _plane_fwd(plane, x, y, sel)
+    return out
+
+
+def _plane_bwd_bf16(res, dout):
+    idx, weights, (s, h, w, c) = res
+    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
+        idx.shape[0], 4 * c).astype(jnp.bfloat16)
+    gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[idx].add(corner)
+    g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
+    dplane = (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
+              + _unshift_x(_unshift_y(g[..., 3, :])))
+    return dplane, None, None, None
+
+
+sample_plane_packed_fastgrad.defvjp(_plane_fwd, _plane_bwd_bf16)
+
+
 # ---------------------------------------------------------------------------
 # differentiable line sample
 # ---------------------------------------------------------------------------

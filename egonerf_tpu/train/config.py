@@ -153,6 +153,7 @@ class Config:
     eval_chunk: int = 8192          # rays per jitted eval chunk
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     profile_dir: Optional[str] = None       # jax.profiler trace output
+    steps_per_call: int = 8  # train steps fused into one dispatch via lax.scan
 
 
 _FIELDS = {f.name: f for f in dataclasses.fields(Config)}

@@ -31,7 +31,9 @@ from ..data.datasets import dataset_dict
 from ..data.samplers import SimpleSampler, ThetaImportanceSampler
 from ..models import build_model, model_meta
 from ..ops.volrend import ray_entropy
-from ..parallel.mesh import batch_sharding, make_mesh, replicate_tree, replicated
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicate_tree, replicated
 from ..render.renderer import Renderer, evaluation
 from .checkpoint import latest_checkpoint, restore_params, save_checkpoint
 from .config import Config, export_config
@@ -152,6 +154,16 @@ class Trainer:
         else:
             raise ValueError(f"sampling method {cfg.sampling_method} not supported")
 
+        # optional host-side ray pruning (reference: models/tensorBase.py:381-413)
+        if cfg.filter_ray and hasattr(self.model, "filtering_rays"):
+            kept = self.model.filtering_rays(
+                self.params, self.train_dataset.all_rays,
+                self.train_dataset.all_rgbs, bbox_only=True)
+            self.train_dataset.all_rays, self.train_dataset.all_rgbs = kept[:2]
+            n_rays_total = self.train_dataset.all_rays.shape[0]
+            if cfg.sampling_method == "simple":
+                self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
+
         # voxel upsample schedule: log-linear (reference: train.py:189)
         ups = cfg.upsamp_list or []
         self.upsamp_list = [u for u in ups if u < cfg.n_iters]
@@ -183,13 +195,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_step(self, *, resampling: bool, tv_on: bool, entropy_on: bool,
-                   envmap_pretrain: bool = False):
-        """Build one jitted step for a schedule phase."""
+                   envmap_pretrain: bool = False, n_steps: int = 1):
+        """Build one jitted multi-step for a schedule phase.
+
+        ``n_steps`` consecutive optimizer steps are fused into a single
+        dispatch with ``lax.scan`` — per-call host/dispatch overhead (which
+        is substantial through the device tunnel) amortizes across them.
+        Batches arrive stacked (n_steps, batch, ...).
+        """
         cfg = self.cfg
         model = self.model
         tx = self.tx
 
-        def step(params, opt_state, rays, rgbs, key, dyn):
+        def one_step(params, opt_state, rays, rgbs, key, dyn):
             def loss_fn(p):
                 if envmap_pretrain:
                     out = model.forward(p, rays, pretrain_envmap=True)
@@ -199,7 +217,7 @@ class Trainer:
                     p, rays, key=key, is_train=True, n_coarse=cfg.n_coarse,
                     n_fine=cfg.n_fine, exp_sampling=cfg.exp_sampling,
                     resampling=resampling, use_coarse_sample=cfg.use_coarse_sample,
-                    white_bg=self.white_bg)
+                    white_bg=self.white_bg, ndc_ray=bool(cfg.ndc_ray))
                 mse = jnp.mean((out["rgb"] - rgbs) ** 2)
                 total = mse
                 if cfg.sparsity_lambda > 0:
@@ -227,55 +245,96 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, mse
 
+        def multi_step(params, opt_state, rays_k, rgbs_k, key, dyn_k):
+            keys = jax.random.split(key, n_steps)
+
+            def body(carry, xs):
+                p, s = carry
+                rays, rgbs, k, dyn = xs
+                p, s, mse = one_step(p, s, rays, rgbs, k, dyn)
+                return (p, s), mse
+
+            (params, opt_state), mses = jax.lax.scan(
+                body, (params, opt_state), (rays_k, rgbs_k, keys, dyn_k))
+            return params, opt_state, mses
+
         if self.multi_device:
-            bs = batch_sharding(self.mesh)
+            bs = NamedSharding(self.mesh, P(None, DATA_AXIS))
             rep = replicated(self.mesh)
-            return jax.jit(step, donate_argnums=(0, 1),
+            return jax.jit(multi_step, donate_argnums=(0, 1),
                            in_shardings=(rep, rep, bs, bs, rep, rep),
                            out_shardings=(rep, rep, rep))
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(multi_step, donate_argnums=(0, 1))
 
-    def _get_step(self, iteration: int, envmap_pretrain=False):
+    def _get_step(self, iteration: int, n_steps: int = 1, envmap_pretrain=False):
         cfg = self.cfg
         phase = (
             envmap_pretrain,
             cfg.resampling and iteration > cfg.iter_ignore_resampling,
             iteration < cfg.iter_ignore_TV,
             iteration > cfg.iter_ignore_entropy,
+            n_steps,
         )
         fn = self._step_cache.get(phase)
         if fn is None:
             fn = self._make_step(resampling=phase[1], tv_on=phase[2],
-                                 entropy_on=phase[3], envmap_pretrain=phase[0])
+                                 entropy_on=phase[3], envmap_pretrain=phase[0],
+                                 n_steps=n_steps)
             self._step_cache[phase] = fn
         return fn
 
+    def _chunk_len(self, iteration: int) -> int:
+        """Largest n_steps <= steps_per_call such that no training-state
+        event (vis/ckpt/alpha/upsample/phase flip) lands strictly inside
+        the fused chunk."""
+        cfg = self.cfg
+        limit = max(1, int(cfg.steps_per_call))
+        events = [cfg.n_iters]
+        events += [v - 1 for v in (cfg.vis_list or []) if v - 1 >= iteration]
+        if cfg.i_weights > 0:
+            nxt = ((iteration // cfg.i_weights) + 1) * cfg.i_weights
+            if iteration % cfg.i_weights == 0 and iteration != 0:
+                nxt = iteration
+            events.append(nxt)
+        events += [a for a in (cfg.update_AlphaMask_list or []) if a >= iteration]
+        events += [u for u in self.upsamp_list if u >= iteration]
+        for flip in (cfg.iter_ignore_resampling + 1, cfg.iter_ignore_TV,
+                     cfg.iter_ignore_entropy + 1):
+            if flip > iteration:
+                events.append(flip - 1)
+        first = min(e for e in events if e >= iteration)
+        return max(1, min(limit, first - iteration + 1, cfg.n_iters - iteration))
+
     # ------------------------------------------------------------------
-    def _gather_batch(self, ids):
+    def _gather_batches(self, n_steps: int):
+        """Draw n_steps ray batches, stacked (n_steps, batch, ...)."""
+        ids = np.stack([self.sampler.nextids() for _ in range(n_steps)])
         rays = self.train_dataset.all_rays[ids]
         rgbs = self.train_dataset.all_rgbs[ids]
         if self.multi_device:
-            sh = batch_sharding(self.mesh)
-            return (jax.device_put(rays, sh), jax.device_put(rgbs, sh))
-        return jnp.asarray(rays), jnp.asarray(rgbs)
+            sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            return ids, jax.device_put(rays, sh), jax.device_put(rgbs, sh)
+        return ids, jnp.asarray(rays), jnp.asarray(rgbs)
 
-    def _dyn_weights(self, iteration: int, tv_d: float, tv_a: float, ent: float,
-                     l1_w: float, ids=None):
+    def _dyn_weights(self, iterations, tv_d, tv_a, ent, l1_w: float, ids=None):
+        """Per-step dynamic loss weights for a fused chunk; the scalar
+        arguments are (n_steps,) arrays."""
         cfg = self.cfg
         dyn = {
-            "tv_density_w": jnp.float32(tv_d),
-            "tv_app_w": jnp.float32(tv_a),
-            "entropy_w": jnp.float32(ent),
-            "l1_w": jnp.float32(l1_w),
+            "tv_density_w": jnp.asarray(tv_d, jnp.float32),
+            "tv_app_w": jnp.asarray(tv_a, jnp.float32),
+            "entropy_w": jnp.asarray(ent, jnp.float32),
+            "l1_w": jnp.asarray(np.full(len(iterations), l1_w), jnp.float32),
         }
         if cfg.use_depth:
-            depth = self.train_dataset.all_depths[ids].reshape(-1)
-            lam = cfg.depth_lambda * cfg.depth_rate ** (iteration // cfg.depth_step_size)
-            if cfg.depth_end_iter is not None and iteration > cfg.depth_end_iter:
-                lam = 0.0
+            depth = self.train_dataset.all_depths[ids].reshape(ids.shape[0], -1)
+            lam = np.array([
+                0.0 if (cfg.depth_end_iter is not None and it > cfg.depth_end_iter)
+                else cfg.depth_lambda * cfg.depth_rate ** (it // cfg.depth_step_size)
+                for it in iterations], np.float32)
             dyn["depth_gt"] = jnp.asarray(depth)
             dyn["depth_mask"] = jnp.asarray((depth != 0).astype(np.float32))
-            dyn["depth_w"] = jnp.float32(lam)
+            dyn["depth_w"] = jnp.asarray(lam)
         return dyn
 
     # ------------------------------------------------------------------
@@ -286,17 +345,21 @@ class Trainer:
         if not (cfg.use_envmap and cfg.iter_pretrain_envmap > 0):
             return
         print(f"pretraining envmap for {cfg.iter_pretrain_envmap} iters")
-        step_fn = self._get_step(0, envmap_pretrain=True)
         key = jax.random.PRNGKey(cfg.seed + 1)
-        dyn = self._dyn_weights(0, 0, 0, 0, 0)
-        for it in range(cfg.iter_pretrain_envmap):
-            ids = self.sampler.nextids()
-            rays, rgbs = self._gather_batch(ids)
+        it = 0
+        while it < cfg.iter_pretrain_envmap:
+            k_steps = min(max(1, cfg.steps_per_call), cfg.iter_pretrain_envmap - it)
+            step_fn = self._get_step(0, n_steps=k_steps, envmap_pretrain=True)
+            ids, rays, rgbs = self._gather_batches(k_steps)
+            dyn = self._dyn_weights(list(range(it, it + k_steps)),
+                                    [0.0] * k_steps, [0.0] * k_steps,
+                                    [0.0] * k_steps, 0.0, ids)
             key, sub = jax.random.split(key)
-            self.params, self.opt_state, mse = step_fn(
+            self.params, self.opt_state, mses = step_fn(
                 self.params, self.opt_state, rays, rgbs, sub, dyn)
-            if it % 200 == 199:
-                print(f"  envmap pretrain {it}: mse {float(mse):.5f}")
+            it += k_steps
+            if it % 200 < k_steps:
+                print(f"  envmap pretrain {it}: mse {float(mses[-1]):.5f}")
         evaluation(self.test_dataset, self.model, self.params, self.renderer,
                    save_path=os.path.join(self.logdir, "imgs_vis"),
                    envmap_only=True)
@@ -316,36 +379,49 @@ class Trainer:
         psnrs, psnrs_test = [], [0.0]
         t_start, rays_done = time.time(), 0
 
-        for iteration in range(self.start_step, cfg.n_iters):
-            ids = self.sampler.nextids()
-            rays, rgbs = self._gather_batch(ids)
+        iteration = self.start_step
+        while iteration < cfg.n_iters:
+            k_steps = self._chunk_len(iteration)
+            iters = list(range(iteration, iteration + k_steps))
+            ids, rays, rgbs = self._gather_batches(k_steps)
             key, sub = jax.random.split(key)
 
             # per-step decay of TV/entropy weights (reference: train.py:295-310)
-            if tv_d > 0 and iteration < cfg.iter_ignore_TV:
-                tv_d *= self.lr_factor
-            if tv_a > 0 and iteration < cfg.iter_ignore_TV:
-                tv_a *= self.lr_factor
-            if ent > 0 and iteration > cfg.iter_ignore_entropy:
-                ent *= self.lr_factor
+            tv_d_k, tv_a_k, ent_k = [], [], []
+            for it in iters:
+                if tv_d > 0 and it < cfg.iter_ignore_TV:
+                    tv_d *= self.lr_factor
+                if tv_a > 0 and it < cfg.iter_ignore_TV:
+                    tv_a *= self.lr_factor
+                if ent > 0 and it > cfg.iter_ignore_entropy:
+                    ent *= self.lr_factor
+                tv_d_k.append(tv_d)
+                tv_a_k.append(tv_a)
+                ent_k.append(ent)
 
-            step_fn = self._get_step(iteration)
-            dyn = self._dyn_weights(iteration, tv_d, tv_a, ent, l1_w, ids)
-            self.params, self.opt_state, mse = step_fn(
+            step_fn = self._get_step(iteration, n_steps=k_steps)
+            dyn = self._dyn_weights(iters, tv_d_k, tv_a_k, ent_k, l1_w, ids)
+            self.params, self.opt_state, mses = step_fn(
                 self.params, self.opt_state, rays, rgbs, sub, dyn)
 
-            rays_done += cfg.batch_size
-            if iteration % cfg.progress_refresh_rate == 0:
-                mse_v = float(mse)
-                psnr = -10.0 * np.log(max(mse_v, 1e-12)) / np.log(10.0)
-                psnrs.append(psnr)
-                self.log.scalar("train/PSNR", psnr, iteration)
-                self.log.scalar("train/mse", mse_v, iteration)
+            rays_done += cfg.batch_size * k_steps
+            log_offsets = [i for i, it in enumerate(iters)
+                           if it % cfg.progress_refresh_rate == 0]
+            if log_offsets:
+                mses_np = np.asarray(mses)
+                for i in log_offsets:
+                    mse_v = float(mses_np[i])
+                    psnr = -10.0 * np.log(max(mse_v, 1e-12)) / np.log(10.0)
+                    psnrs.append(psnr)
+                    self.log.scalar("train/PSNR", psnr, iters[i])
+                    self.log.scalar("train/mse", mse_v, iters[i])
                 elapsed = time.time() - t_start
-                print(f"iter {iteration:06d} psnr {np.mean(psnrs):.2f} "
+                print(f"iter {iters[log_offsets[-1]]:06d} psnr {np.mean(psnrs):.2f} "
                       f"test {np.mean(psnrs_test):.2f} mse {mse_v:.6f} "
                       f"rays/s {rays_done / max(elapsed, 1e-9):,.0f}")
                 psnrs = []
+
+            iteration = iters[-1]  # events below key off the chunk's last step
 
             if (iteration + 1) in vis_list and cfg.N_vis != 0:
                 psnrs_test = evaluation(
@@ -370,6 +446,8 @@ class Trainer:
 
             if iteration in self.upsamp_list:
                 self._upsample(iteration)
+
+            iteration += 1
 
         self.save(os.path.join(self.logdir, f"{cfg.expname}.npz"), cfg.n_iters)
         self.log.flush()
