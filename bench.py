@@ -17,7 +17,7 @@ import numpy as np
 
 
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
-COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "float32")
+COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 
 
 def main():

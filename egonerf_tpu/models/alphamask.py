@@ -32,6 +32,28 @@ class AlphaGridMask:
         return vals[:, 0].reshape(lead)
 
 
+class YinYangAlphaGridMask:
+    """Occupancy masks for both yin-yang grids, selected per sample by the
+    chart flag (reference: models/EgoNeRF.py:11-24).  Stored stacked
+    (2, D, H, W, 1) so the flag folds into the trilinear gather."""
+
+    def __init__(self, alpha_volume_yin: np.ndarray, alpha_volume_yang: np.ndarray):
+        yin = np.asarray(alpha_volume_yin, np.float32)
+        yang = np.asarray(alpha_volume_yang, np.float32)
+        assert yin.shape == yang.shape
+        self.volume = jnp.asarray(
+            np.stack([yin, yang]).reshape(2, *yin.shape[-3:], 1))
+        self.grid_size = yin.shape[-3:]
+
+    def sample_alpha(self, norm_coords: jnp.ndarray) -> jnp.ndarray:
+        """norm_coords (..., 4) = [r, theta, phi, flag] -> (...)."""
+        lead = norm_coords.shape[:-1]
+        flat = norm_coords.reshape(-1, 4)
+        sel = flat[:, 3].astype(jnp.int32)
+        vals = sample_volume(self.volume, flat[:, 0], flat[:, 1], flat[:, 2], sel)
+        return vals[:, 0].reshape(lead)
+
+
 def max_pool3d_same(vol: jnp.ndarray, k: int = 3) -> jnp.ndarray:
     """(D, H, W) same-padded max pool, stride 1 (reference:
     models/tensorBase.py:372 dilates the mask before thresholding)."""

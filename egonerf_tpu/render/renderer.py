@@ -16,14 +16,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..parallel.mesh import batch_sharding, pad_to_multiple
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, pad_to_multiple
 from .metrics import psnr as psnr_fn
 from .metrics import rgb_lpips, rgb_ssim, ws_ssim
 from .viz import to_uint8, visualize_depth
 
 
 class Renderer:
-    """Compiled chunked renderer for one model + render configuration."""
+    """Compiled chunked renderer for one model + render configuration.
+
+    All chunks of an image render in ONE dispatch: the padded ray buffer is
+    reshaped to (n_chunks, chunk, 6) and a ``lax.scan`` walks the chunk
+    axis on-device (per-dispatch overhead through the device tunnel is
+    ~17 ms — the reference's Python chunk loop shape, renderer.py:25-37,
+    would pay it hundreds of times per image)."""
+
+    #: per-ray outputs carried out of the scan (alpha is per-sample and
+    #: only needed by training losses — excluded to bound eval memory)
+    OUT_KEYS = ("rgb", "depth", "bg", "env")
 
     def __init__(self, model, chunk: int = 8192, mesh=None, **render_kwargs):
         self.model = model
@@ -32,37 +44,43 @@ class Renderer:
         self.render_kwargs = dict(render_kwargs)
         self._jitted = {}
 
-    def _get_fn(self, pretrain_envmap: bool):
-        fn = self._jitted.get(pretrain_envmap)
+    def _get_fn(self, pretrain_envmap: bool, n_chunks: int):
+        cache_key = (pretrain_envmap, n_chunks)
+        fn = self._jitted.get(cache_key)
         if fn is None:
             kwargs = dict(self.render_kwargs)
 
-            def render(params, rays):
-                return self.model.forward(params, rays, key=None, is_train=False,
-                                          pretrain_envmap=pretrain_envmap, **kwargs)
+            def render_chunk(params, rays):
+                out = self.model.forward(params, rays, key=None, is_train=False,
+                                         pretrain_envmap=pretrain_envmap, **kwargs)
+                return {k: out.get(k) for k in self.OUT_KEYS if out.get(k) is not None}
+
+            def render_all(params, rays_chunks):
+                def body(_, rays):
+                    return None, render_chunk(params, rays)
+
+                _, outs = jax.lax.scan(body, None, rays_chunks)
+                return outs
 
             if self.mesh is not None:
-                sharding = batch_sharding(self.mesh)
-                fn = jax.jit(render, in_shardings=(None, sharding))
+                sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                fn = jax.jit(render_all, in_shardings=(None, sharding))
             else:
-                fn = jax.jit(render)
-            self._jitted[pretrain_envmap] = fn
+                fn = jax.jit(render_all)
+            self._jitted[cache_key] = fn
         return fn
 
     def render_rays(self, params, rays: np.ndarray, pretrain_envmap=False) -> dict:
         """rays: host (N, 6) -> dict of host arrays (N, ...)."""
-        fn = self._get_fn(pretrain_envmap)
         n = rays.shape[0]
         n_pad = pad_to_multiple(n, self.chunk)
         if n_pad != n:
             rays = np.concatenate([rays, np.repeat(rays[-1:], n_pad - n, axis=0)])
-        outs = []
-        for i in range(0, n_pad, self.chunk):
-            chunk = jnp.asarray(rays[i : i + self.chunk])
-            out = fn(params, chunk)
-            outs.append({k: np.asarray(v) for k, v in out.items() if v is not None})
-        merged = {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
-        return merged
+        n_chunks = n_pad // self.chunk
+        fn = self._get_fn(pretrain_envmap, n_chunks)
+        out = fn(params, jnp.asarray(rays.reshape(n_chunks, self.chunk, 6)))
+        return {k: np.asarray(v).reshape(n_pad, *v.shape[2:])[:n]
+                for k, v in out.items()}
 
 
 def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,

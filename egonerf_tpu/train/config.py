@@ -149,7 +149,7 @@ class Config:
 
     # -- TPU-framework extensions (no reference counterpart) ------------
     seed: int = 20221028
-    compute_dtype: str = "float32"  # bfloat16 for the lookup/shading path
+    compute_dtype: str = "bfloat16"  # float32 = conservative opt-out
     eval_chunk: int = 8192          # rays per jitted eval chunk
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     profile_dir: Optional[str] = None       # jax.profiler trace output

@@ -117,7 +117,8 @@ class Trainer:
             self.model = build_model(cfg, aabb, reso, self.coords, self.near_far,
                                      meta=header.get("model_meta"))
             template = self.model.init_params(jax.random.PRNGKey(cfg.seed))
-            self.params, header, _ = restore_params(template, ckpt_path)
+            self.params, header, masks = restore_params(template, ckpt_path)
+            self.restore_alpha_mask(self.model, masks)
             self.start_step = int(header["global_step"])
         else:
             self.coords = make_coordinates(
@@ -379,8 +380,19 @@ class Trainer:
         psnrs, psnrs_test = [], [0.0]
         t_start, rays_done = time.time(), 0
 
+        profile_state = 0  # 0=idle, 1=tracing, 2=done
         iteration = self.start_step
         while iteration < cfg.n_iters:
+            # profiler hook: trace a few steady-state chunks
+            # (reference has only wall-clock prints, renderer.py:68,75)
+            if cfg.profile_dir and profile_state == 0 and iteration >= self.start_step + 16:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profile_state, profile_end = 1, iteration + 24
+            elif cfg.profile_dir and profile_state == 1 and iteration >= profile_end:
+                jax.profiler.stop_trace()
+                profile_state = 2
+                print(f"profiler trace written to {cfg.profile_dir}")
+
             k_steps = self._chunk_len(iteration)
             iters = list(range(iteration, iteration + k_steps))
             ids, rays, rgbs = self._gather_batches(k_steps)
@@ -452,6 +464,33 @@ class Trainer:
         self.save(os.path.join(self.logdir, f"{cfg.expname}.npz"), cfg.n_iters)
         self.log.flush()
 
+        if cfg.render_train:
+            # re-render the training views (reference: train.py:389-396)
+            out_dir = os.path.join(self.logdir, "imgs_train_all")
+            train_stacked = type(self.train_dataset)(
+                data_dir=cfg.datadir, split="train", is_stack=True,
+                downsample=cfg.downsample_train, near_far=cfg.near_far,
+                roi=cfg.roi, localization_method=cfg.localization_method)
+            psnrs_train = evaluation(train_stacked, self.model, self.params,
+                                     self.renderer, save_path=out_dir, n_vis=-1,
+                                     compute_extra_metrics=False)
+            print(f"======> {cfg.expname} train all psnr: {np.mean(psnrs_train)} <====")
+
+        if cfg.render_path and hasattr(self.test_dataset, "render_path"):
+            # novel spiral trajectory + video (reference: renderer.py:199-255)
+            from ..render.renderer import evaluation_path
+
+            out_dir = os.path.join(self.logdir, "imgs_path_all")
+            evaluation_path(self.test_dataset, self.model, self.params,
+                            self.test_dataset.render_path, self.renderer,
+                            save_path=out_dir)
+
+        if cfg.export_mesh:
+            from ..render.export import export_density_mesh
+
+            export_density_mesh(self.model, self.params,
+                                os.path.join(self.logdir, f"{cfg.expname}.ply"))
+
         if cfg.render_test:
             out_dir = os.path.join(self.logdir, "imgs_test_all")
             psnrs_test = evaluation(self.test_dataset, self.model, self.params,
@@ -481,11 +520,31 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str, global_step: int):
+        masks = None
+        mask = getattr(self.model, "alpha_mask", None)
+        if mask is not None:
+            vols = np.asarray(mask.volume)[..., 0]  # (S, D, H, W)
+            masks = {f"alpha_{i}": vols[i] > 0 for i in range(vols.shape[0])}
         save_checkpoint(
             path, jax.device_get(self.params), global_step=global_step,
             coords_spec=self.coords.to_spec(),
-            model_meta=model_meta(self.cfg, self.model))
+            model_meta=model_meta(self.cfg, self.model),
+            alpha_masks=masks)
         print(f"saved checkpoint {path}")
+
+    @staticmethod
+    def restore_alpha_mask(model, masks: dict) -> None:
+        """Reinstall bit-packed occupancy volumes from a checkpoint
+        (reference: models/EgoNeRF.py:174-180)."""
+        if not masks:
+            return
+        from ..models.alphamask import AlphaGridMask, YinYangAlphaGridMask
+
+        vols = [masks[k].astype(np.float32) for k in sorted(masks)]
+        if len(vols) == 2:
+            model.alpha_mask = YinYangAlphaGridMask(vols[0], vols[1])
+        else:
+            model.alpha_mask = AlphaGridMask(vols[0])
 
 
 def render_test(cfg: Config):
@@ -510,7 +569,8 @@ def render_test(cfg: Config):
     model = build_model(cfg, test_dataset.scene_bbox, coords.resolution, coords,
                         test_dataset.near_far, meta=header.get("model_meta"))
     template = model.init_params(jax.random.PRNGKey(0))
-    params, header, _ = restore_params(template, ckpt_path)
+    params, header, masks = restore_params(template, ckpt_path)
+    Trainer.restore_alpha_mask(model, masks)
 
     renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
                         n_fine=(cfg.n_fine if cfg.resampling else 0),
