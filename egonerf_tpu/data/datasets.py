@@ -29,6 +29,18 @@ from .ray_utils import (
 )
 
 
+def _parallel_map(fn, items, workers: int = 16) -> list:
+    """Decode/raygen worker pool — PIL and large numpy ops release the GIL,
+    so startup I/O parallelizes well (the reference loads serially,
+    dataLoader/dataset_omniblender.py:60-85)."""
+    if len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
 def _load_image(path, resize_wh=None) -> np.ndarray:
     """Decode to float32 (h, w, c) in [0, 1]; RGBA blended onto white."""
     from PIL import Image
@@ -119,20 +131,20 @@ class OmniBlenderDataset(EgoNeRFDataset):
         img_list = img_list[:: self.skip]
 
         frame_names = [fr["file_path"].split(".")[0] for fr in meta["frames"]]
-        poses, rays_list, rgbs_list = [], [], []
-        for name in img_list:
+
+        def load_one(name):
             frame = meta["frames"][frame_names.index(name)]
             c2w = np.asarray(frame["transform_matrix"], np.float32)
-            poses.append(c2w)
             img = _load_image(
                 os.path.join(self.root_dir, "images", frame["file_path"]),
                 resize_wh=self.img_wh if self.downsample != 1.0 else None,
             )
-            rgbs_list.append(img.reshape(-1, 3))
             rays_o, rays_d = get_rays(directions, c2w, self.roi)
-            rays_list.append(np.concatenate([rays_o, rays_d], -1))
-        self.poses = np.stack(poses)
-        self._finalize(rays_list, rgbs_list)
+            return c2w, img.reshape(-1, 3), np.concatenate([rays_o, rays_d], -1)
+
+        loaded = _parallel_map(load_one, img_list)
+        self.poses = np.stack([l[0] for l in loaded])
+        self._finalize([l[2] for l in loaded], [l[1] for l in loaded])
 
 
 class EgocentricVideoDataset(EgoNeRFDataset):
@@ -161,19 +173,17 @@ class EgocentricVideoDataset(EgoNeRFDataset):
         self.pose_descriptor.read_pose_file(self.root_dir, img_ext=".png")
         self.pose_descriptor.normalize_pose()
 
-        poses, rays_list, rgbs_list = [], [], []
-        for fname in img_list:
+        def load_one(fname):
             img = _load_image(fname, resize_wh=self.img_wh_origin if self.downsample != 1.0 else None)
             r0, r1, c0, c1 = self.roi
             img = img[int(r0 * h) : int(r1 * h), int(c0 * w) : int(c1 * w)]
-            rgbs_list.append(img.reshape(-1, 3))
-
             c2w = np.asarray(self.pose_descriptor.poses_dict[os.path.basename(fname)], np.float32)
-            poses.append(c2w)
             rays_o, rays_d = get_rays(directions, c2w, roi=self.roi)
-            rays_list.append(np.concatenate([rays_o, rays_d], -1))
-        self.poses = np.stack(poses)
-        self._finalize(rays_list, rgbs_list)
+            return c2w, img.reshape(-1, 3), np.concatenate([rays_o, rays_d], -1)
+
+        loaded = _parallel_map(load_one, img_list)
+        self.poses = np.stack([l[0] for l in loaded])
+        self._finalize([l[2] for l in loaded], [l[1] for l in loaded])
 
 
 class OmniscenesDataset(EgoNeRFDataset):
@@ -225,18 +235,18 @@ class OmniscenesDataset(EgoNeRFDataset):
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
 
-        poses, rays_list, rgbs_list = [], [], []
-        for img_path, pose_path in zip(img_files, pose_files):
+        def load_one(paths):
+            img_path, pose_path = paths
             c2w = self._load_pose(pose_path)
-            poses.append(c2w)
             img = _load_image(img_path, resize_wh=self.img_wh_origin if self.downsample != 1.0 else None)
             r0, r1, c0, c1 = self.roi
             img = img[int(r0 * h) : int(r1 * h), int(c0 * w) : int(c1 * w)]
-            rgbs_list.append(img.reshape(-1, 3))
             rays_o, rays_d = get_rays(directions, c2w, self.roi)
-            rays_list.append(np.concatenate([rays_o, rays_d], -1))
-        self.poses = np.stack(poses)
-        self._finalize(rays_list, rgbs_list)
+            return c2w, img.reshape(-1, 3), np.concatenate([rays_o, rays_d], -1)
+
+        loaded = _parallel_map(load_one, list(zip(img_files, pose_files)))
+        self.poses = np.stack([l[0] for l in loaded])
+        self._finalize([l[2] for l in loaded], [l[1] for l in loaded])
 
 
 class LLFFDataset(EgoNeRFDataset):

@@ -79,6 +79,37 @@ def aabb_intersect(rays_o: np.ndarray, rays_d: np.ndarray, aabb: np.ndarray):
     return t_min, t_max
 
 
+def depth2dist(z_vals: np.ndarray, cos_angle: np.ndarray) -> np.ndarray:
+    """(reference: dataLoader/ray_utils.py:9-15)"""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = np.concatenate([dists, np.full_like(dists[..., :1], 1e10)], -1)
+    return dists * cos_angle[..., None]
+
+
+def ray_marcher(rays: np.ndarray, n_samples=64, lindisp=False, perturb=0.0,
+                bbox_3d=None, rng=None):
+    """Legacy uniform/disparity ray marcher kept for API parity
+    (reference: dataLoader/ray_utils.py:200-244)."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    if bbox_3d is not None:
+        near, far = aabb_intersect(rays_o, rays_d, bbox_3d)
+    steps = np.linspace(0, 1, n_samples, dtype=np.float32)
+    if not lindisp:
+        z_vals = near * (1 - steps) + far * steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1 - steps) + 1.0 / far * steps)
+    z_vals = np.broadcast_to(z_vals, (rays.shape[0], n_samples)).copy()
+    if perturb > 0:
+        rng = rng or np.random.default_rng()
+        mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = np.concatenate([mid, z_vals[:, -1:]], -1)
+        lower = np.concatenate([z_vals[:, :1], mid], -1)
+        z_vals = lower + (upper - lower) * perturb * rng.uniform(size=z_vals.shape)
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    return pts, rays_o, rays_d, z_vals
+
+
 def normalize(v):
     return v / np.linalg.norm(v)
 

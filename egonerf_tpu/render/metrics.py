@@ -59,6 +59,17 @@ def rgb_ssim(img0, img1, max_val: float = 1.0, **kw) -> float:
     return float(np.mean(_ssim_map(img0, img1, max_val, **kw)))
 
 
+def ws_psnr(img0: np.ndarray, img1: np.ndarray) -> float:
+    """Weighted-sphere PSNR: squared error averaged with cos(latitude)
+    weights (the reference left this as a TODO, renderer.py:89)."""
+    img0, img1 = np.asarray(img0, np.float64), np.asarray(img1, np.float64)
+    h = img0.shape[0]
+    lat = ((np.arange(h) + 0.5) / h - 0.5) * np.pi
+    w = np.cos(lat)[:, None, None]
+    mse = float(np.sum(w * (img0 - img1) ** 2) / (np.sum(w) * img0.shape[1] * img0.shape[2]))
+    return mse2psnr(mse)
+
+
 def ws_ssim(img0, img1, max_val: float = 1.0, **kw) -> float:
     """Weighted-sphere SSIM: the per-pixel SSIM map averaged with
     cos(latitude) weights so the over-represented poles of an equirect

@@ -550,6 +550,10 @@ class Trainer:
 def render_test(cfg: Config):
     """Evaluation entry: restore the newest/explicit checkpoint and run the
     full test set (reference: train.py:23-69)."""
+    if cfg.metric_only:
+        raise NotImplementedError(
+            "metric_only re-scoring of existing renders is not implemented "
+            "(reference parity: train.py:25-26)")
     ds_cls = dataset_dict[cfg.dataset_name]
     test_dataset = ds_cls(
         data_dir=cfg.datadir, split="test", is_stack=True, downsample=1,

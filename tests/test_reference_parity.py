@@ -1,0 +1,188 @@
+"""Numerical parity against the reference PyTorch implementation.
+
+Skipped unless the upstream reference checkout is present.  The test
+instantiates the reference EgoNeRF on CPU, copies THIS framework's
+parameters into it, renders the same rays deterministically through both,
+and compares outputs.  This validates the whole math stack — exp-r grids,
+yin-yang chart, normalization, VM lookup, resampling, shading, compositing
+— in one shot.
+
+Tolerances: our lookup tables are read through bf16-packed rows (~0.4%
+quantization per fetch), so outputs match to ~1e-2 absolute, not 1e-6.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout not present")
+
+torch = pytest.importorskip("torch")
+
+
+def _stub_module(name, **attrs):
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    # the reference's import chain pulls GUI/vision deps absent from this
+    # image; they are unused by the code paths exercised here
+    _stub_module("torchvision")
+    _stub_module("torchvision.transforms", ToTensor=lambda: None)
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    _stub_module("kornia", create_meshgrid=lambda *a, **k: None)
+    _stub_module("cv2", COLORMAP_JET=2, applyColorMap=lambda *a, **k: None)
+    _stub_module("plyfile", PlyData=None, PlyElement=None)
+    _stub_module("skimage")
+    _stub_module("skimage.measure", marching_cubes=None)
+    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+    import PIL.Image  # real module — the stub broke Pillow's own imports
+
+    sys.path.insert(0, REF)
+    try:
+        from models.coordinates import YinYangSphericalCoords as RefCoords
+        from models.EgoNeRF import EgoNeRF as RefEgoNeRF
+    finally:
+        sys.path.pop(0)
+    return RefCoords, RefEgoNeRF
+
+
+def build_pair(ref_modules, n_voxel=16**3, seed=0):
+    import jax
+
+    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+    from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
+
+    RefCoords, RefEgoNeRF = ref_modules
+    aabb = np.array([[-4.0] * 3, [4.0] * 3], np.float32)
+    near_far = [0.05, 4.0]
+    r0 = 0.05
+
+    coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=n_voxel, r0=r0,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      shading_mode="MLP_Fea", view_pe=2, fea_pe=2, feature_c=32,
+                      density_shift=-8.0)
+    ours = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
+    params = ours.init_params(jax.random.PRNGKey(seed))
+
+    t_aabb = torch.tensor(aabb)
+    ref_coords = RefCoords("cpu", t_aabb, exp_r=True, N_voxel=n_voxel, r0=r0,
+                           interval_th=True)
+    ref = RefEgoNeRF(
+        t_aabb, coords.resolution, "cpu", ref_coords,
+        density_n_comp=[4, 4, 4], appearance_n_comp=[8, 8, 8], app_dim=12,
+        near_far=near_far, shadingMode="MLP_Fea", density_shift=-8,
+        distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+        fea2denseAct="softplus", coarse_sigma_grid_update_rule="conv",
+    )
+
+    # copy our parameters into the reference (stacked (2,H,W,C) -> two
+    # (1,C,H,W) ParameterLists; basis (2,in,out) -> Linear weights (out,in))
+    def to_t(a):
+        return torch.tensor(np.asarray(a))
+
+    with torch.no_grad():
+        for i in range(3):
+            for name, mine in (("density", "density"), ("app", "app")):
+                plane = np.asarray(params[f"{mine}_planes"][i])  # (2,H,W,C)
+                line = np.asarray(params[f"{mine}_lines"][i])    # (2,L,C)
+                getattr(ref, f"{name}_plane_yin")[i].copy_(
+                    to_t(plane[0].transpose(2, 0, 1)[None]))
+                getattr(ref, f"{name}_plane_yang")[i].copy_(
+                    to_t(plane[1].transpose(2, 0, 1)[None]))
+                getattr(ref, f"{name}_line_yin")[i].copy_(
+                    to_t(line[0].T[None, :, :, None]))
+                getattr(ref, f"{name}_line_yang")[i].copy_(
+                    to_t(line[1].T[None, :, :, None]))
+        basis = np.asarray(params["basis"])  # (2, n_app, app_dim)
+        ref.basis_mat_yin.weight.copy_(to_t(basis[0].T))
+        ref.basis_mat_yang.weight.copy_(to_t(basis[1].T))
+        sh = params["shader"]
+        layers = [ref.renderModule.mlp[0], ref.renderModule.mlp[2], ref.renderModule.mlp[4]]
+        for layer, key in zip(layers, ("l1", "l2", "l3")):
+            layer.weight.copy_(to_t(np.asarray(sh[key]["w"]).T))
+            layer.bias.copy_(to_t(np.asarray(sh[key]["b"])))
+        ref.update_coarse_sigma_grid()
+
+    return ours, params, ref
+
+
+def rays_fixture(n=64, seed=1):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    return np.concatenate([o, d], -1).astype(np.float32)
+
+
+def test_forward_matches_reference(ref_modules):
+    import jax.numpy as jnp
+
+    ours, params, ref = build_pair(ref_modules)
+    rays = rays_fixture()
+
+    with torch.no_grad():
+        r_rgb, r_depth, _, _, _ = ref(
+            torch.tensor(rays), is_train=False, ndc_ray=False, n_coarse=24,
+            n_fine=24, exp_sampling=True, resampling=True,
+            use_coarse_sample=True, interval_th=True)
+
+    out = ours.forward(params, jnp.asarray(rays), key=None, is_train=False,
+                       n_coarse=24, n_fine=24, exp_sampling=True,
+                       resampling=True, use_coarse_sample=True)
+
+    np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out["depth"]), r_depth.numpy(),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_coords_match_reference(ref_modules):
+    import jax.numpy as jnp
+
+    RefCoords, _ = ref_modules
+    aabb = np.array([[-4.0] * 3, [4.0] * 3], np.float32)
+    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+
+    coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=True)
+    ref_coords = RefCoords("cpu", torch.tensor(aabb), exp_r=True,
+                           N_voxel=16**3, r0=0.05, interval_th=True)
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-3.5, 3.5, (512, 3)).astype(np.float32)
+
+    ref_c = ref_coords.from_cartesian(torch.tensor(pts))
+    ref_n = ref_coords.normalize_coord(ref_c).numpy()  # (N, 7)
+
+    mine = np.asarray(coords.normalize_coord(coords.from_cartesian(jnp.asarray(pts))))
+
+    flag = ref_n[:, 6]
+    np.testing.assert_allclose(mine[:, 3], flag, atol=1e-6)
+    # our compact 4-vector holds the SELECTED grid's coords; pick the
+    # matching triple from the reference's 7-vector
+    ref_sel = np.where(flag[:, None] > 0.5, ref_n[:, 3:6], ref_n[:, 0:3])
+    np.testing.assert_allclose(mine[:, :3], ref_sel, atol=2e-5)
+
+
+def test_sample_grid_matches_reference(ref_modules):
+    """The interval_th exponential sampling depths match the reference's
+    eval-mode z values exactly (reference: models/EgoNeRF.py:56-87)."""
+    import jax.numpy as jnp
+
+    ours, params, ref = build_pair(ref_modules, seed=3)
+    rays = rays_fixture(8, seed=4)
+    _, ref_z, _ = ref.sample_ray_exp(torch.tensor(rays[:, :3]),
+                                     torch.tensor(rays[:, 3:6]),
+                                     is_train=False, N_samples=24)
+    _, our_z = ours.sample_ray_exp(jnp.asarray(rays[:, :3]),
+                                   jnp.asarray(rays[:, 3:6]), None, 24)
+    np.testing.assert_allclose(np.asarray(our_z)[0], ref_z.numpy()[0], atol=1e-5)
