@@ -69,6 +69,28 @@ def ndc_rays_blender(h, w, focal, near, rays_o, rays_d):
     return np.stack([o0, o1, o2], -1), np.stack([d0, d1, d2], -1)
 
 
+def ndc_rays(h, w, focal, near, rays_o, rays_d):
+    """OpenGL-convention NDC projection (reference: dataLoader/ray_utils.py:135-152)."""
+    t = (near - rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+    o0 = 1.0 / (w / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = 1.0 / (h / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 - 2.0 * near / rays_o[..., 2]
+    d0 = 1.0 / (w / (2.0 * focal)) * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    d1 = 1.0 / (h / (2.0 * focal)) * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    d2 = 2.0 * near / rays_o[..., 2]
+    return np.stack([o0, o1, o2], -1), np.stack([d0, d1, d2], -1)
+
+
+def ndc_bbox(all_rays: np.ndarray) -> np.ndarray:
+    """Bounding box of NDC ray endpoints (reference: dataLoader/ray_utils.py:285-291)."""
+    near = all_rays[..., :3].reshape(-1, 3)
+    far = (all_rays[..., :3] + all_rays[..., 3:6]).reshape(-1, 3)
+    lo = np.minimum(near.min(0), far.min(0))
+    hi = np.maximum(near.max(0), far.max(0))
+    return np.stack([lo, hi])
+
+
 def aabb_intersect(rays_o: np.ndarray, rays_d: np.ndarray, aabb: np.ndarray):
     """Slab-test entry/exit distances (reference: dataLoader/ray_utils.py:190-197)."""
     inv_d = 1.0 / (rays_d + 1e-6)

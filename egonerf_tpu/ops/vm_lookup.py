@@ -24,8 +24,6 @@ a mixed batch is one static-shape gather (no boolean partitioning).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -93,7 +93,6 @@ def marching_tetrahedra(volume: np.ndarray, level: float, spacing=(1.0, 1.0, 1.0
                 pb = sub_cells + _CUBE[tet[b]]
                 edge_pos[e] = pa + t[:, None] * (pb - pa)
             for tri in tris:
-                base = len(verts) * 0
                 i0 = sum(len(v) for v in verts)
                 verts.extend([edge_pos[tri[0]], edge_pos[tri[1]], edge_pos[tri[2]]])
                 n = len(edge_pos[tri[0]])

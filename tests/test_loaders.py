@@ -87,19 +87,6 @@ def test_egocentric_loader(egocentric_root):
     assert np.isfinite(centers).all()
 
 
-@pytest.fixture
-def omniscenes_root(tmp_path):
-    base = tmp_path
-    room = "room1"
-    (base / "turtlebot_pano" / room).mkdir(parents=True)
-    (base / "turtlebot_pose" / room).mkdir(parents=True)
-    for i in range(33):
-        _write_img(base / "turtlebot_pano" / room / f"pano{i}.jpg", 1920 // 96, 960 // 96, seed=i)
-        pose = np.hstack([np.eye(3), [[0.01 * i], [0.0], [0.02 * i]]])
-        np.savetxt(base / "turtlebot_pose" / room / f"pose{i}.txt", pose)
-    return str(base / "scan" / room).replace("/scan/", "/")  # root_dir = base/room
-
-
 def test_omniscenes_loader(tmp_path):
     base = tmp_path
     room = "room1"
