@@ -85,16 +85,23 @@ def build_pair(ref_modules, n_voxel=16**3, seed=0):
         fea2denseAct="softplus", coarse_sigma_grid_update_rule="conv",
     )
 
-    # copy our parameters into the reference (stacked (2,H,W,C) -> two
-    # (1,C,H,W) ParameterLists; basis (2,in,out) -> Linear weights (out,in))
+    _copy_params(ref, params)
+    return ours, params, ref
+
+
+def _copy_params(ref, params):
+    """Copy THIS framework's parameters into the reference yin-yang model:
+    stacked (2,H,W,C) -> two (1,C,H,W) ParameterLists; basis (2,in,out) ->
+    Linear weights (out,in)."""
+
     def to_t(a):
         return torch.tensor(np.asarray(a))
 
     with torch.no_grad():
         for i in range(3):
-            for name, mine in (("density", "density"), ("app", "app")):
-                plane = np.asarray(params[f"{mine}_planes"][i])  # (2,H,W,C)
-                line = np.asarray(params[f"{mine}_lines"][i])    # (2,L,C)
+            for name in ("density", "app"):
+                plane = np.asarray(params[f"{name}_planes"][i])  # (2,H,W,C)
+                line = np.asarray(params[f"{name}_lines"][i])    # (2,L,C)
                 getattr(ref, f"{name}_plane_yin")[i].copy_(
                     to_t(plane[0].transpose(2, 0, 1)[None]))
                 getattr(ref, f"{name}_plane_yang")[i].copy_(
@@ -112,8 +119,6 @@ def build_pair(ref_modules, n_voxel=16**3, seed=0):
             layer.weight.copy_(to_t(np.asarray(sh[key]["w"]).T))
             layer.bias.copy_(to_t(np.asarray(sh[key]["b"])))
         ref.update_coarse_sigma_grid()
-
-    return ours, params, ref
 
 
 def rays_fixture(n=64, seed=1):
@@ -171,6 +176,134 @@ def test_coords_match_reference(ref_modules):
     # matching triple from the reference's 7-vector
     ref_sel = np.where(flag[:, None] > 0.5, ref_n[:, 3:6], ref_n[:, 0:3])
     np.testing.assert_allclose(mine[:, :3], ref_sel, atol=2e-5)
+
+
+def test_forward_matches_reference_no_interval_th(ref_modules):
+    """The closed-form exponential radius path (interval_th=False) and the
+    cumulative-offset ray sampler (reference: models/EgoNeRF.py:59-67,
+    models/coordinates.py:132-156)."""
+    import jax.numpy as jnp
+
+    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+    from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
+
+    RefCoords, RefEgoNeRF = ref_modules
+    aabb = np.array([[-4.0] * 3, [4.0] * 3], np.float32)
+    near_far = [0.05, 4.0]
+
+    coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=False)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      shading_mode="MLP_Fea", view_pe=2, fea_pe=2, feature_c=32,
+                      density_shift=-8.0)
+    ours = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
+    import jax
+
+    params = ours.init_params(jax.random.PRNGKey(7))
+
+    t_aabb = torch.tensor(aabb)
+    ref_coords = RefCoords("cpu", t_aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                           interval_th=False)
+    ref = RefEgoNeRF(
+        t_aabb, coords.resolution, "cpu", ref_coords,
+        density_n_comp=[4, 4, 4], appearance_n_comp=[8, 8, 8], app_dim=12,
+        near_far=near_far, shadingMode="MLP_Fea", density_shift=-8,
+        distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+        fea2denseAct="softplus", coarse_sigma_grid_update_rule="conv")
+    _copy_params(ref, params)
+
+    rays = rays_fixture(32, seed=8)
+    with torch.no_grad():
+        r_rgb, _, _, _, _ = ref(
+            torch.tensor(rays), is_train=False, ndc_ray=False, n_coarse=24,
+            n_fine=24, exp_sampling=True, resampling=True,
+            use_coarse_sample=True, interval_th=False)
+    out = ours.forward(params, jnp.asarray(rays), key=None, is_train=False,
+                       n_coarse=24, n_fine=24, exp_sampling=True,
+                       resampling=True, use_coarse_sample=True)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
+
+
+def test_forward_matches_reference_no_resampling(ref_modules):
+    """The single-pass branch (resampling=False) evaluates the fine grid at
+    the coarse depths (reference: models/EgoNeRF.py:564-577)."""
+    import jax.numpy as jnp
+
+    ours, params, ref = build_pair(ref_modules, seed=11)
+    rays = rays_fixture(32, seed=12)
+    with torch.no_grad():
+        r_rgb, _, _, _, _ = ref(
+            torch.tensor(rays), is_train=False, ndc_ray=False, n_coarse=32,
+            n_fine=0, exp_sampling=True, resampling=False, interval_th=True)
+    out = ours.forward(params, jnp.asarray(rays), key=None, is_train=False,
+                       n_coarse=32, n_fine=0, exp_sampling=True,
+                       resampling=False)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
+
+
+def test_tensorvmsplit_matches_reference(ref_modules):
+    """The cartesian TensoRF baseline forward (reference:
+    models/tensoRF.py:127-226, models/tensorBase.py:438-510)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.coordinates import CartesianCoords as RefCart
+        from models.tensoRF import TensorVMSplit as RefVMSplit
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.coords.cartesian import CartesianCoords
+    from egonerf_tpu.models.egonerf import FieldConfig
+    from egonerf_tpu.models.tensorf import TensorVMSplit
+
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    near_far = [0.5, 3.0]
+    reso = [24, 24, 24]
+    coords = CartesianCoords(aabb)
+    coords.set_resolution(reso)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      shading_mode="MLP_Fea", view_pe=2, fea_pe=2, feature_c=32,
+                      density_shift=-8.0, step_ratio=0.5)
+    ours = TensorVMSplit(aabb, reso, coords, cfg, near_far=near_far)
+    params = ours.init_params(jax.random.PRNGKey(5))
+
+    ref_coords = RefCart("cpu", torch.tensor(aabb))
+    ref = RefVMSplit(
+        torch.tensor(aabb), reso, "cpu", ref_coords,
+        density_n_comp=[4, 4, 4], appearance_n_comp=[8, 8, 8], app_dim=12,
+        near_far=near_far, shadingMode="MLP_Fea", density_shift=-8,
+        distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+        fea2denseAct="softplus", step_ratio=0.5)
+
+    def to_t(a):
+        return torch.tensor(np.asarray(a))
+
+    with torch.no_grad():
+        for i in range(3):
+            ref.density_plane[i].copy_(to_t(
+                np.asarray(params["density_planes"][i])[0].transpose(2, 0, 1)[None]))
+            ref.density_line[i].copy_(to_t(
+                np.asarray(params["density_lines"][i])[0].T[None, :, :, None]))
+            ref.app_plane[i].copy_(to_t(
+                np.asarray(params["app_planes"][i])[0].transpose(2, 0, 1)[None]))
+            ref.app_line[i].copy_(to_t(
+                np.asarray(params["app_lines"][i])[0].T[None, :, :, None]))
+        ref.basis_mat.weight.copy_(to_t(np.asarray(params["basis"]).T))
+        sh = params["shader"]
+        layers = [ref.renderModule.mlp[0], ref.renderModule.mlp[2], ref.renderModule.mlp[4]]
+        for layer, key in zip(layers, ("l1", "l2", "l3")):
+            layer.weight.copy_(to_t(np.asarray(sh[key]["w"]).T))
+            layer.bias.copy_(to_t(np.asarray(sh[key]["b"])))
+
+    rays = rays_fixture(32, seed=6)
+    with torch.no_grad():
+        r_rgb, _, _, _, _ = ref(torch.tensor(rays), is_train=False,
+                                ndc_ray=False, N_samples=32, exp_sampling=False)
+    out = ours.forward(params, jnp.asarray(rays), key=None, is_train=False,
+                       n_coarse=32, exp_sampling=False)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
 
 
 def test_sample_grid_matches_reference(ref_modules):
