@@ -1,0 +1,66 @@
+"""Offline tools: sweep runner grid/locking, COLMAP converter."""
+import json
+import os
+
+import numpy as np
+
+from egonerf_tpu.tools.colmap2nerf import (
+    colmap_to_transforms,
+    qvec2rotmat,
+    read_cameras_text,
+    read_images_text,
+)
+from egonerf_tpu.tools.sweep import expname_for, make_param_grid, run_sweep, try_lock
+
+
+def test_param_grid_and_names():
+    grid = make_param_grid({"lr_init": [0.01, 0.02], "n_coarse": [64, 128]})
+    assert len(grid) == 4
+    names = {expname_for(c) for c in grid}
+    assert len(names) == 4
+    assert "lr_init-0.01_n_coarse-64" in names
+
+
+def test_folder_lock(tmp_path):
+    assert try_lock(str(tmp_path), "exp_a")
+    assert not try_lock(str(tmp_path), "exp_a")  # second claimant loses
+
+
+def test_sweep_dry_run_skips_locked(tmp_path, capsys):
+    launched = run_sweep("cfg.txt", {"lr_init": ["0.01", "0.02"]},
+                         basedir=str(tmp_path), dry=True)
+    assert len(launched) == 2
+    launched2 = run_sweep("cfg.txt", {"lr_init": ["0.01", "0.02"]},
+                          basedir=str(tmp_path), dry=True)
+    assert launched2 == []  # all locked now
+
+
+def test_qvec2rotmat_identity_and_orthonormal():
+    np.testing.assert_allclose(qvec2rotmat([1, 0, 0, 0]), np.eye(3), atol=1e-12)
+    q = np.array([0.9, 0.1, -0.3, 0.2])
+    q /= np.linalg.norm(q)
+    r = qvec2rotmat(q)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
+
+
+def test_colmap_to_transforms(tmp_path):
+    (tmp_path / "cameras.txt").write_text(
+        "# header\n1 PINHOLE 200 100 120.0 120.0 100.0 50.0\n")
+    lines = ["# header"]
+    for i in range(3):
+        lines.append(f"{i+1} 1 0 0 0 {0.1*i} 0.2 {0.3*i} 1 img_{i}.png")
+        lines.append("1.0 2.0 -1")
+    (tmp_path / "images.txt").write_text("\n".join(lines))
+    out_path = str(tmp_path / "transforms.json")
+    out = colmap_to_transforms(str(tmp_path), out_path)
+    assert len(out["frames"]) == 3
+    assert out["w"] == 200 and out["fl_x"] == 120.0
+    data = json.load(open(out_path))
+    m = np.asarray(data["frames"][0]["transform_matrix"])
+    assert m.shape == (4, 4)
+    np.testing.assert_allclose(m[3], [0, 0, 0, 1], atol=1e-12)
+
+    cams = read_cameras_text(str(tmp_path / "cameras.txt"))
+    assert cams[1]["model"] == "PINHOLE"
+    imgs = read_images_text(str(tmp_path / "images.txt"))
+    assert [im["name"] for im in imgs] == [f"img_{i}.png" for i in range(3)]
