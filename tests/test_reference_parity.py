@@ -306,6 +306,64 @@ def test_tensorvmsplit_matches_reference(ref_modules):
     np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
 
 
+def test_envmap_matches_reference(ref_modules):
+    """Environment-map uv convention + bilinear sampling + sigmoid
+    (reference: models/envmap.py:6-37)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.envmap import EnvironmentMap as RefEnvMap
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.models.envmap import envmap_radiance
+
+    h = 12
+    rng = np.random.default_rng(9)
+    emission = rng.normal(size=(2 * h, h, 3)).astype(np.float32)
+
+    ref_env = RefEnvMap(h=h, init_strategy="zero", device="cpu")
+    with torch.no_grad():
+        # ours (2h, h, 3) channel-last == reference (3, 2h, h) channel-first
+        ref_env.emission.copy_(torch.tensor(emission.transpose(2, 0, 1)))
+
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        want = ref_env.get_radiance(torch.tensor(dirs)).numpy()
+    got = np.asarray(envmap_radiance(jnp.asarray(emission), jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_generic_sphere_normalize_matches_reference(ref_modules):
+    """The generic spherical chart with exponential radius, both
+    interval_th settings (reference: models/coordinates.py:73-156)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.coordinates import GenericSphericalCoords as RefGeneric
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.coords.spherical import GenericSphericalCoords
+
+    aabb = np.array([[-6.0] * 3, [6.0] * 3], np.float32)
+    rng = np.random.default_rng(10)
+    pts = rng.uniform(-5.5, 5.5, (512, 3)).astype(np.float32)
+
+    for ith in (True, False):
+        mine = GenericSphericalCoords(aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                                      interval_th=ith)
+        ref = RefGeneric("cpu", torch.tensor(aabb), exp_r=True, N_voxel=16**3,
+                         r0=0.05, interval_th=ith)
+        want = ref.normalize_coord(ref.from_cartesian(torch.tensor(pts))).numpy()
+        got = np.asarray(mine.normalize_coord(mine.from_cartesian(jnp.asarray(pts))))
+        np.testing.assert_allclose(got, want, atol=3e-4, err_msg=f"interval_th={ith}")
+
+
 def test_sample_grid_matches_reference(ref_modules):
     """The interval_th exponential sampling depths match the reference's
     eval-mode z values exactly (reference: models/EgoNeRF.py:56-87)."""

@@ -1,0 +1,34 @@
+"""Novel-trajectory rendering (spiral path / video export path)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+from egonerf_tpu.data.datasets import SyntheticEgoDataset
+from egonerf_tpu.data.synthetic import make_poses
+from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
+from egonerf_tpu.render.renderer import Renderer, evaluation_path
+
+AABB = np.array([[-8.5] * 3, [8.5] * 3], np.float32)
+
+
+def test_evaluation_path_writes_frames(tmp_path):
+    coords = YinYangSphericalCoords(AABB, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      view_pe=2, fea_pe=2, feature_c=32)
+    model = EgoNeRF(AABB, coords.resolution, coords, cfg, near_far=(0.05, 8.5))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ds = SyntheticEgoDataset(n_train=2, n_test=1, height=16, width=32,
+                             split="test", is_stack=True)
+    renderer = Renderer(model, chunk=16 * 32, n_coarse=8, n_fine=8)
+    c2ws = make_poses(3)
+    frames = evaluation_path(ds, model, params, c2ws, renderer,
+                             save_path=str(tmp_path))
+    assert len(frames) == 3
+    assert frames[0].shape == (16, 32, 3)
+    assert os.path.exists(tmp_path / "000.png")
+    assert os.path.exists(tmp_path / "rgbd" / "002.png")
