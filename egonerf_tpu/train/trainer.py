@@ -71,6 +71,11 @@ class MetricsLogger:
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if cfg.coarse_sigma_grid_update_rule == "samp":
+            raise NotImplementedError(
+                "'samp' coarse-grid updates are not implemented (reference "
+                "parity: train.py:139-140); the 'conv' rule runs every step "
+                "inside the compiled train step")
         np.random.seed(cfg.seed)
 
         # -- datasets ---------------------------------------------------
@@ -171,6 +176,11 @@ class Trainer:
         n_steps = len(ups) + 1
         self.n_voxel_list = np.round(np.exp(np.linspace(
             np.log(cfg.N_voxel_init), np.log(cfg.N_voxel_final), n_steps))).astype(np.int64).tolist()[1:]
+        # keep the voxel schedule aligned when resuming past upsample points
+        # (the reference's pop-based schedule silently misaligns here)
+        for u in ups:
+            if u < self.start_step and self.n_voxel_list:
+                self.n_voxel_list.pop(0)
 
         self.renderer = Renderer(
             self.model, chunk=cfg.eval_chunk, mesh=self.mesh if self.multi_device else None,
@@ -344,6 +354,10 @@ class Trainer:
         training (reference: train.py:218-242)."""
         cfg = self.cfg
         if not (cfg.use_envmap and cfg.iter_pretrain_envmap > 0):
+            return
+        if self.start_step > 0:
+            # resumed runs skip pretraining (the reference would redo it and
+            # perturb the restored envmap — reference: train.py:218-242)
             return
         print(f"pretraining envmap for {cfg.iter_pretrain_envmap} iters")
         key = jax.random.PRNGKey(cfg.seed + 1)
