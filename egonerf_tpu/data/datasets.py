@@ -315,8 +315,11 @@ class SyntheticEgoDataset(EgoNeRFDataset):
         idx = (np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test] if self.split == "test"
                else np.asarray(sorted(set(range(n)) - set(np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test].tolist()))))
         self.poses = poses[idx]
-        rays, rgbs = render_views(self.poses, height, width, wall_radius)
+        rays, rgbs, depths = render_views(self.poses, height, width, wall_radius)
         self._finalize(list(rays), list(rgbs))
+        # analytic ground-truth depth supports --use_depth supervision
+        self.all_depths = (np.stack(depths).astype(np.float32) if self.is_stack
+                           else np.concatenate(depths).astype(np.float32))
         self.scene_bbox = self.get_scene_bbox()
 
 

@@ -81,13 +81,15 @@ def make_poses(n: int, radius: float = 0.35) -> np.ndarray:
 
 
 def render_views(poses: np.ndarray, h: int, w: int, wall_radius: float = 8.0):
-    """Render (n, h*w, 6) rays and (n, h*w, 3) colors for each pose."""
+    """Render (n, h*w, 6) rays, (n, h*w, 3) colors and (n, h*w) ground-truth
+    depths for each pose."""
     dirs = get_ray_directions_360(h, w)
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-    all_rays, all_rgbs = [], []
+    all_rays, all_rgbs, all_depths = [], [], []
     for c2w in poses:
         rays_o, rays_d = get_rays(dirs, c2w)
-        rgb, _ = trace_rays(rays_o, rays_d, wall_radius)
+        rgb, depth = trace_rays(rays_o, rays_d, wall_radius)
         all_rays.append(np.concatenate([rays_o, rays_d], -1))
         all_rgbs.append(rgb)
-    return np.stack(all_rays), np.stack(all_rgbs)
+        all_depths.append(depth)
+    return np.stack(all_rays), np.stack(all_rgbs), np.stack(all_depths)

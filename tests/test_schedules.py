@@ -86,3 +86,26 @@ def test_legacy_ray_marcher():
     dists = depth2dist(z, np.ones(4, np.float32))
     assert dists.shape == (4, 16)
     assert dists[0, -1] > 1e9
+
+
+def test_depth_supervision_and_theta_sampler(tmp_path):
+    """--use_depth with ground-truth depths + latitude-importance pixel
+    sampling, end to end (reference: train.py:249-283, sampler.py:19-38)."""
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
+        exp_sampling=True, interval_th=True, r0="0.05", resampling=True,
+        use_coarse_sample=True, n_coarse=12, n_fine=12, batch_size=256,
+        n_iters=6, N_voxel_init=16**3, N_voxel_final=16**3,
+        n_lamb_sigma="[4,4,4]", n_lamb_sh="[8,8,8]", data_dim_color=12,
+        shadingMode="MLP_Fea", density_shift="-8", featureC=32, view_pe=2, fea_pe=2,
+        near_far="[0.05, 8.5]", basedir=str(tmp_path), expname="depth",
+        N_vis=0, i_weights=10**7, eval_chunk=256, sparsity_lambda=0,
+        steps_per_call=3, use_depth=True, use_gt_depth=True, depth_lambda=0.05,
+        sampling_method="theta_importance", theta_importance_lambda=5,
+    ))
+    trainer = Trainer(cfg)
+    assert trainer.train_dataset.all_depths is not None
+    from egonerf_tpu.data.samplers import ThetaImportanceSampler
+
+    assert isinstance(trainer.sampler, ThetaImportanceSampler)
+    trainer.train()  # runs the depth-loss branch without error
