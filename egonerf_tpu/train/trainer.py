@@ -467,6 +467,10 @@ class Trainer:
                 if hasattr(self.model, "update_alpha_mask"):
                     reso_mask = [min(r, 128) for r in self.reso_cur]
                     self.model.update_alpha_mask(self.params, reso_mask)
+                    # the mask is a trace-time constant of the compiled
+                    # step/render programs — drop the stale traces
+                    self._step_cache = {}
+                    self.renderer._jitted = {}
                 if iteration == update_alpha_list[0]:
                     l1_w = cfg.L1_weight_rest
 

@@ -109,3 +109,30 @@ def test_depth_supervision_and_theta_sampler(tmp_path):
 
     assert isinstance(trainer.sampler, ThetaImportanceSampler)
     trainer.train()  # runs the depth-loss branch without error
+
+
+def test_alpha_mask_schedule_tensorf(tmp_path):
+    """Alpha-mask baking mid-training rebuilds the compiled step and
+    training continues (reference: train.py:359-368)."""
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name="TensorVMSplit",
+        coordinates_name="xyz", n_coarse=12, batch_size=256,
+        n_iters=6, N_voxel_init=16**3, N_voxel_final=16**3,
+        update_AlphaMask_list="[3]", L1_weight_initial=1e-4, L1_weight_rest=1e-5,
+        n_lamb_sigma="[4,4,4]", n_lamb_sh="[8,8,8]", data_dim_color=12,
+        shadingMode="MLP_Fea", density_shift="-8", featureC=32, view_pe=2, fea_pe=2,
+        near_far="[0.05, 8.5]", basedir=str(tmp_path), expname="amask",
+        N_vis=0, i_weights=10**7, eval_chunk=256, sparsity_lambda=0,
+        steps_per_call=4,
+    ))
+    trainer = Trainer(cfg)
+    assert trainer.model.alpha_mask is None
+    trainer.train()
+    assert trainer.model.alpha_mask is not None
+    # checkpoint carries the bit-packed mask
+    from egonerf_tpu.train.checkpoint import load_checkpoint
+    import os
+
+    path = os.path.join(trainer.logdir, "amask.npz")
+    _, header, masks = load_checkpoint(path)
+    assert masks and list(masks.values())[0].dtype == bool
