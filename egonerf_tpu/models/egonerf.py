@@ -102,6 +102,12 @@ class EgoNeRF:
 
     def __init__(self, aabb, grid_size, coordinates: YinYangSphericalCoords,
                  cfg: FieldConfig, near_far=(0.01, 15.0)):
+        if not isinstance(coordinates, YinYangSphericalCoords):
+            raise TypeError(
+                "EgoNeRF requires the yin-yang chart (its lookups are "
+                "flag-indexed dual grids) — use coordinates_name=yinyang, or "
+                "a TensoRF model for other charts (reference parity: "
+                "models/EgoNeRF.py:522)")
         self.aabb = np.asarray(aabb, np.float32).reshape(2, 3)
         self.coordinates = coordinates
         self.cfg = cfg

@@ -122,3 +122,12 @@ def test_overfit_single_batch():
             first = float(loss)
     final = float(loss)
     assert final < first / 4, f"loss {first} -> {final}"
+
+
+def test_egonerf_rejects_non_yinyang_coords():
+    from egonerf_tpu.coords.cartesian import CartesianCoords
+
+    coords = CartesianCoords(AABB)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12)
+    with pytest.raises(TypeError):
+        EgoNeRF(AABB, [16, 16, 16], coords, cfg)
