@@ -32,3 +32,27 @@ def test_evaluation_path_writes_frames(tmp_path):
     assert frames[0].shape == (16, 32, 3)
     assert os.path.exists(tmp_path / "000.png")
     assert os.path.exists(tmp_path / "rgbd" / "002.png")
+
+
+def test_renderer_tail_padding(tmp_path):
+    """Ray counts that are not a multiple of the chunk render identically
+    to the unpadded path."""
+    coords = YinYangSphericalCoords(AABB, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      view_pe=2, fea_pe=2, feature_c=32)
+    model = EgoNeRF(AABB, coords.resolution, coords, cfg, near_far=(0.05, 8.5))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(77, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-0.2, 0.2, (77, 3)).astype(np.float32)
+    rays = np.concatenate([o, d], -1).astype(np.float32)
+
+    r32 = Renderer(model, chunk=32, n_coarse=8, n_fine=8)   # 77 -> pad to 96
+    r77 = Renderer(model, chunk=77, n_coarse=8, n_fine=8)   # exact
+    out_pad = r32.render_rays(params, rays)
+    out_exact = r77.render_rays(params, rays)
+    assert out_pad["rgb"].shape == (77, 3)
+    np.testing.assert_allclose(out_pad["rgb"], out_exact["rgb"], atol=1e-5)
