@@ -71,15 +71,19 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
         return Shader(init, apply, mode)
 
     if mode == "MLP_PE":
+        # the reference's layer width implies raw pts are an input, but its
+        # forward never appends them — a latent shape mismatch in dead code
+        # (reference: models/tensorBase.py:85 vs :95-101).  Implemented
+        # self-consistently here: raw pts included.  pts must be 3-dim.
         n_in = (3 + 2 * view_pe * 3) + (3 + 2 * pos_pe * 3) + app_dim
 
         def init(key):
             return _mlp3_init(key, n_in, feature_c)
 
         def apply(params, pts, viewdirs, features):
-            parts = [features, viewdirs]
+            parts = [features, viewdirs, pts[..., :3]]
             if pos_pe > 0:
-                parts.append(positional_encoding(pts, pos_pe))
+                parts.append(positional_encoding(pts[..., :3], pos_pe))
             if view_pe > 0:
                 parts.append(positional_encoding(viewdirs, view_pe))
             return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))

@@ -131,3 +131,22 @@ def test_egonerf_rejects_non_yinyang_coords():
     cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12)
     with pytest.raises(TypeError):
         EgoNeRF(AABB, [16, 16, 16], coords, cfg)
+
+
+def test_all_shading_modes():
+    from egonerf_tpu.models.shading import make_shader
+
+    # MLP_PE positionally encodes pts and expects 3-dim coords (the
+    # reference has the same constraint, models/tensorBase.py:85)
+    pts = jnp.zeros((10, 3))
+    dirs = jnp.asarray(np.tile([0.0, 0.0, 1.0], (10, 1)).astype(np.float32))
+    for mode, app_dim in (("MLP_Fea", 12), ("MLP_PE", 12), ("MLP", 12),
+                          ("SH", 27), ("RGB", 3)):
+        shader = make_shader(mode, app_dim, pos_pe=2, view_pe=2, fea_pe=2,
+                             feature_c=16)
+        params = shader.init(jax.random.PRNGKey(0)) if shader.init else None
+        feats = jnp.asarray(np.random.default_rng(0).normal(
+            size=(10, app_dim)).astype(np.float32))
+        rgb = shader.apply(params, pts, dirs, feats)
+        assert rgb.shape == (10, 3), mode
+        assert np.isfinite(np.asarray(rgb)).all(), mode
