@@ -170,6 +170,22 @@ class Trainer:
             if cfg.sampling_method == "simple":
                 self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
 
+        # -- device-resident training data ------------------------------
+        # host->device transfer is expensive (and brutal through a device
+        # tunnel), so the flat ray/rgb/depth buffers live on-device and each
+        # chunk ships only (n_steps, batch) int32 ids; batches gather inside
+        # the compiled step.  Falls back to host gathers for huge datasets.
+        buf_bytes = self.train_dataset.all_rays.nbytes + self.train_dataset.all_rgbs.nbytes
+        self.device_data = buf_bytes < 6 * 2**30
+        if self.device_data:
+            sharding = replicated(self.mesh) if self.multi_device else None
+            put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+            self._rays_buf = put(self.train_dataset.all_rays)
+            self._rgbs_buf = put(self.train_dataset.all_rgbs)
+            self._depth_buf = (put(self.train_dataset.all_depths)
+                               if cfg.use_depth and self.train_dataset.all_depths is not None
+                               else None)
+
         # voxel upsample schedule: log-linear (reference: train.py:189)
         ups = cfg.upsamp_list or []
         self.upsamp_list = [u for u in ups if u < cfg.n_iters]
@@ -256,6 +272,37 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, mse
 
+        if self.device_data:
+            # batches gather on-device from resident buffers; only the
+            # (n_steps, batch) int32 ids cross the host boundary
+            def multi_step(params, opt_state, ids_k, key, dyn_k,
+                           rays_buf, rgbs_buf, depth_buf):
+                keys = jax.random.split(key, n_steps)
+
+                def body(carry, xs):
+                    p, s = carry
+                    ids, k, dyn = xs
+                    rays = jnp.take(rays_buf, ids, axis=0)
+                    rgbs = jnp.take(rgbs_buf, ids, axis=0)
+                    if cfg.use_depth:
+                        depth = jnp.take(depth_buf, ids, axis=0)
+                        dyn = dict(dyn, depth_gt=depth,
+                                   depth_mask=(depth != 0).astype(jnp.float32))
+                    p, s, mse = one_step(p, s, rays, rgbs, k, dyn)
+                    return (p, s), mse
+
+                (params, opt_state), mses = jax.lax.scan(
+                    body, (params, opt_state), (ids_k, keys, dyn_k))
+                return params, opt_state, mses
+
+            if self.multi_device:
+                bs = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                rep = replicated(self.mesh)
+                return jax.jit(multi_step, donate_argnums=(0, 1),
+                               in_shardings=(rep, rep, bs, rep, rep, rep, rep, rep),
+                               out_shardings=(rep, rep, rep))
+            return jax.jit(multi_step, donate_argnums=(0, 1))
+
         def multi_step(params, opt_state, rays_k, rgbs_k, key, dyn_k):
             keys = jax.random.split(key, n_steps)
 
@@ -318,14 +365,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _gather_batches(self, n_steps: int):
-        """Draw n_steps ray batches, stacked (n_steps, batch, ...)."""
-        ids = np.stack([self.sampler.nextids() for _ in range(n_steps)])
+        """Draw n_steps ray batches.  With device-resident buffers only the
+        int32 ids are shipped (the batch gathers run inside the step);
+        otherwise stacked (n_steps, batch, ...) host batches are put."""
+        ids = np.stack([self.sampler.nextids() for _ in range(n_steps)]).astype(np.int32)
+        if self.device_data:
+            if self.multi_device:
+                sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                return ids, jax.device_put(ids, sh), None
+            return ids, jnp.asarray(ids), None
         rays = self.train_dataset.all_rays[ids]
         rgbs = self.train_dataset.all_rgbs[ids]
         if self.multi_device:
             sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
             return ids, jax.device_put(rays, sh), jax.device_put(rgbs, sh)
         return ids, jnp.asarray(rays), jnp.asarray(rgbs)
+
+    def _run_step(self, step_fn, batch_or_ids, rgbs, key, dyn):
+        """Invoke the compiled multi-step with the right data plumbing."""
+        if self.device_data:
+            depth = self._depth_buf if self._depth_buf is not None else self._rgbs_buf
+            return step_fn(self.params, self.opt_state, batch_or_ids, key, dyn,
+                           self._rays_buf, self._rgbs_buf, depth)
+        return step_fn(self.params, self.opt_state, batch_or_ids, rgbs, key, dyn)
 
     def _dyn_weights(self, iterations, tv_d, tv_a, ent, l1_w: float, ids=None):
         """Per-step dynamic loss weights for a fused chunk; the scalar
@@ -338,14 +400,15 @@ class Trainer:
             "l1_w": jnp.asarray(np.full(len(iterations), l1_w), jnp.float32),
         }
         if cfg.use_depth:
-            depth = self.train_dataset.all_depths[ids].reshape(ids.shape[0], -1)
             lam = np.array([
                 0.0 if (cfg.depth_end_iter is not None and it > cfg.depth_end_iter)
                 else cfg.depth_lambda * cfg.depth_rate ** (it // cfg.depth_step_size)
                 for it in iterations], np.float32)
-            dyn["depth_gt"] = jnp.asarray(depth)
-            dyn["depth_mask"] = jnp.asarray((depth != 0).astype(np.float32))
             dyn["depth_w"] = jnp.asarray(lam)
+            if not self.device_data:
+                depth = self.train_dataset.all_depths[ids].reshape(ids.shape[0], -1)
+                dyn["depth_gt"] = jnp.asarray(depth)
+                dyn["depth_mask"] = jnp.asarray((depth != 0).astype(np.float32))
         return dyn
 
     # ------------------------------------------------------------------
@@ -370,8 +433,8 @@ class Trainer:
                                     [0.0] * k_steps, [0.0] * k_steps,
                                     [0.0] * k_steps, 0.0, ids)
             key, sub = jax.random.split(key)
-            self.params, self.opt_state, mses = step_fn(
-                self.params, self.opt_state, rays, rgbs, sub, dyn)
+            self.params, self.opt_state, mses = self._run_step(
+                step_fn, rays, rgbs, sub, dyn)
             it += k_steps
             if it % 200 < k_steps:
                 print(f"  envmap pretrain {it}: mse {float(mses[-1]):.5f}")
@@ -427,8 +490,8 @@ class Trainer:
 
             step_fn = self._get_step(iteration, n_steps=k_steps)
             dyn = self._dyn_weights(iters, tv_d_k, tv_a_k, ent_k, l1_w, ids)
-            self.params, self.opt_state, mses = step_fn(
-                self.params, self.opt_state, rays, rgbs, sub, dyn)
+            self.params, self.opt_state, mses = self._run_step(
+                step_fn, rays, rgbs, sub, dyn)
 
             rays_done += cfg.batch_size * k_steps
             log_offsets = [i for i, it in enumerate(iters)
