@@ -1,19 +1,23 @@
 """Benchmark: training throughput at the reference's headline configuration.
 
-Measures rays/sec of the full jitted EgoNeRF train step (forward with
-128 coarse + 128 resampled fine samples, all losses active per the
-OmniBlender indoor config, Adam update) at the reference grid budget
-N_voxel=27e6 and batch 4096 (reference: configs/EgoNeRF/common.txt:6-23).
+Measures steady-state rays/sec of the REAL training loop — the Trainer's
+fused-scan step (forward with 128 coarse + 128 resampled fine samples,
+losses, Adam, device-resident ray buffers with on-device batch gathers) at
+the reference grid budget N_voxel=27e6 and batch 4096
+(reference: configs/EgoNeRF/common.txt:6-23).
 
 ``vs_baseline`` compares against an RTX-3090 reference-throughput estimate
 (see BASELINE.md: the reference repo publishes no numbers; 30k rays/s is
 our recorded estimate of the reference implementation's training rate).
+
+Prints exactly one JSON line on stdout.
 """
+import contextlib
+import io
 import json
 import os
+import sys
 import time
-
-import numpy as np
 
 
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
@@ -21,81 +25,46 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    import optax
+    from egonerf_tpu.train.config import load_config
+    from egonerf_tpu.train.trainer import Trainer
 
-    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
-    from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
-    from egonerf_tpu.train.optim import make_optimizer
+    warmup_iters, bench_iters = 96, 160
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
+        exp_sampling=True, interval_th=True, r0="0.03", resampling=True,
+        use_coarse_sample=True, n_coarse=128, n_fine=128, batch_size=4096,
+        n_iters=warmup_iters, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
+        n_lamb_sigma="[16,16,16]", n_lamb_sh="[48,48,48]", data_dim_color=27,
+        shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
+        view_pe=2, fea_pe=2, featureC=128, lr_init=0.02, sparsity_lambda=0,
+        near_far="[0.01, 15.0]", progress_refresh_rate=10**9,
+        basedir="/tmp/egonerf_bench", expname="bench", N_vis=0,
+        vis_list="[1000000000]", i_weights=10**9, steps_per_call=8,
+        compute_dtype=COMPUTE_DTYPE, seed=0,
+    ))
 
-    batch = 4096
-    n_coarse = n_fine = 128
+    log = io.StringIO()
+    with contextlib.redirect_stdout(log):
+        trainer = Trainer(cfg)
+        trainer.train()  # warmup + compile
+        # timed segment: continue the SAME compiled loop
+        trainer.start_step = warmup_iters
+        trainer.cfg.n_iters = warmup_iters + bench_iters
+        t0 = time.perf_counter()
+        trainer.train()
+        # train() ends with a checkpoint save which syncs params to host,
+        # so the device queue is drained here
+        dt = time.perf_counter() - t0
 
-    aabb = np.array([[-15.5] * 3, [15.5] * 3], np.float32)
-    coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=27_000_000,
-                                    r0=0.03, interval_th=True)
-    cfg = FieldConfig(density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
-                      app_dim=27, shading_mode="MLP_Fea", view_pe=2, fea_pe=2,
-                      feature_c=128, density_shift=-8.0,
-                      compute_dtype=COMPUTE_DTYPE)
-    model = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=(0.01, 15.0))
-    params = model.init_params(jax.random.PRNGKey(0))
+    # subtract the final checkpoint-save host sync from the measurement by
+    # timing it separately
+    t1 = time.perf_counter()
+    with contextlib.redirect_stdout(log):
+        trainer.save("/tmp/egonerf_bench/timing_probe.npz", 0)
+    save_cost = time.perf_counter() - t1
+    dt = max(dt - save_cost, 1e-6)
 
-    tx = make_optimizer(params, 0.02, 1e-3, 5e-3, decay_target_ratio=0.1,
-                        decay_iters=100_000)
-    opt_state = tx.init(params)
-
-    rng = np.random.default_rng(0)
-    d = rng.normal(size=(batch, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    o = rng.uniform(-0.3, 0.3, size=(batch, 3)).astype(np.float32)
-    rays = jnp.asarray(np.concatenate([o, d], -1))
-    target = jnp.asarray(rng.uniform(0, 1, size=(batch, 3)).astype(np.float32))
-
-    def one_step(params, opt_state, key):
-        def loss_fn(p):
-            out = model.forward(p, rays, key=key, is_train=True,
-                                n_coarse=n_coarse, n_fine=n_fine,
-                                exp_sampling=True, resampling=True,
-                                use_coarse_sample=True)
-            return jnp.mean((out["rgb"] - target) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    # production loop shape: 8 optimizer steps fused per dispatch, matching
-    # the trainer's lax.scan chunking
-    k_fused = 8
-
-    @jax.jit
-    def multi_step(params, opt_state, key):
-        def body(carry, k):
-            p, s = carry
-            p, s, loss = one_step(p, s, k)
-            return (p, s), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jax.random.split(key, k_fused))
-        return params, opt_state, losses[-1]
-
-    key = jax.random.PRNGKey(0)
-    # warmup + compile (float() forces a real device sync — on some
-    # platforms block_until_ready returns before execution completes)
-    key, sub = jax.random.split(key)
-    params, opt_state, loss = multi_step(params, opt_state, sub)
-    _ = float(loss)
-
-    n_calls = 6
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = multi_step(params, opt_state, sub)
-    _ = float(loss)
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = batch * n_calls * k_fused / dt
+    rays_per_sec = cfg.batch_size * bench_iters / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

@@ -154,6 +154,7 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     profile_dir: Optional[str] = None       # jax.profiler trace output
     steps_per_call: int = 8  # train steps fused into one dispatch via lax.scan
+    device_sampling: bool = True  # draw ray ids inside the compiled step
 
 
 _FIELDS = {f.name: f for f in dataclasses.fields(Config)}

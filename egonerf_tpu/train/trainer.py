@@ -175,16 +175,21 @@ class Trainer:
         # tunnel), so the flat ray/rgb/depth buffers live on-device and each
         # chunk ships only (n_steps, batch) int32 ids; batches gather inside
         # the compiled step.  Falls back to host gathers for huge datasets.
-        buf_bytes = self.train_dataset.all_rays.nbytes + self.train_dataset.all_rgbs.nbytes
-        self.device_data = buf_bytes < 6 * 2**30
+        n_rays_buf = self.train_dataset.all_rays.shape[0]
+        # rows padded to 32 f32 (128 B): TPU gathers of sub-128-byte rows
+        # take a ~20x slower path (see ops/vm_lookup.py's cost model)
+        buf_bytes = n_rays_buf * 32 * 4
+        self.device_data = (buf_bytes < 6 * 2**30 and cfg.device_sampling
+                            and cfg.sampling_method == "simple")
         if self.device_data:
+            cols = [self.train_dataset.all_rays, self.train_dataset.all_rgbs]
+            if cfg.use_depth and self.train_dataset.all_depths is not None:
+                cols.append(self.train_dataset.all_depths.reshape(-1, 1))
+            packed = np.concatenate(cols, axis=1).astype(np.float32)
+            packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
             sharding = replicated(self.mesh) if self.multi_device else None
-            put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
-            self._rays_buf = put(self.train_dataset.all_rays)
-            self._rgbs_buf = put(self.train_dataset.all_rgbs)
-            self._depth_buf = (put(self.train_dataset.all_depths)
-                               if cfg.use_depth and self.train_dataset.all_depths is not None
-                               else None)
+            self._train_buf = (jax.device_put(packed, sharding) if sharding
+                               else jax.device_put(packed))
 
         # voxel upsample schedule: log-linear (reference: train.py:189)
         ups = cfg.upsamp_list or []
@@ -273,33 +278,39 @@ class Trainer:
             return params, opt_state, mse
 
         if self.device_data:
-            # batches gather on-device from resident buffers; only the
-            # (n_steps, batch) int32 ids cross the host boundary
-            def multi_step(params, opt_state, ids_k, key, dyn_k,
-                           rays_buf, rgbs_buf, depth_buf):
+            # batches are sampled AND gathered on device from resident
+            # buffers: zero training data crosses the host boundary.  Ray
+            # ids draw uniformly (with replacement) inside the step — the
+            # theta-importance sampler is with-replacement in the reference
+            # too (reference: sampler.py:33-38); the epoch-permutation
+            # host sampler remains available via device_sampling=False.
+            n_total = int(self.train_dataset.all_rays.shape[0])
+
+            def multi_step(params, opt_state, key, dyn_k, train_buf):
                 keys = jax.random.split(key, n_steps)
 
                 def body(carry, xs):
                     p, s = carry
-                    ids, k, dyn = xs
-                    rays = jnp.take(rays_buf, ids, axis=0)
-                    rgbs = jnp.take(rgbs_buf, ids, axis=0)
+                    k, dyn = xs
+                    k_ids, k_step = jax.random.split(k)
+                    ids = jax.random.randint(k_ids, (cfg.batch_size,), 0, n_total)
+                    row = jnp.take(train_buf, ids, axis=0)
+                    rays, rgbs = row[:, :6], row[:, 6:9]
                     if cfg.use_depth:
-                        depth = jnp.take(depth_buf, ids, axis=0)
+                        depth = row[:, 9]
                         dyn = dict(dyn, depth_gt=depth,
                                    depth_mask=(depth != 0).astype(jnp.float32))
-                    p, s, mse = one_step(p, s, rays, rgbs, k, dyn)
+                    p, s, mse = one_step(p, s, rays, rgbs, k_step, dyn)
                     return (p, s), mse
 
                 (params, opt_state), mses = jax.lax.scan(
-                    body, (params, opt_state), (ids_k, keys, dyn_k))
+                    body, (params, opt_state), (keys, dyn_k))
                 return params, opt_state, mses
 
             if self.multi_device:
-                bs = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 rep = replicated(self.mesh)
                 return jax.jit(multi_step, donate_argnums=(0, 1),
-                               in_shardings=(rep, rep, bs, rep, rep, rep, rep, rep),
+                               in_shardings=(rep, rep, rep, rep, rep),
                                out_shardings=(rep, rep, rep))
             return jax.jit(multi_step, donate_argnums=(0, 1))
 
@@ -365,15 +376,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _gather_batches(self, n_steps: int):
-        """Draw n_steps ray batches.  With device-resident buffers only the
-        int32 ids are shipped (the batch gathers run inside the step);
+        """Draw n_steps ray batches.  With device-resident buffers nothing
+        crosses the host boundary (ids are drawn inside the step);
         otherwise stacked (n_steps, batch, ...) host batches are put."""
-        ids = np.stack([self.sampler.nextids() for _ in range(n_steps)]).astype(np.int32)
         if self.device_data:
-            if self.multi_device:
-                sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
-                return ids, jax.device_put(ids, sh), None
-            return ids, jnp.asarray(ids), None
+            return None, None, None
+        ids = np.stack([self.sampler.nextids() for _ in range(n_steps)]).astype(np.int32)
         rays = self.train_dataset.all_rays[ids]
         rgbs = self.train_dataset.all_rgbs[ids]
         if self.multi_device:
@@ -381,13 +389,11 @@ class Trainer:
             return ids, jax.device_put(rays, sh), jax.device_put(rgbs, sh)
         return ids, jnp.asarray(rays), jnp.asarray(rgbs)
 
-    def _run_step(self, step_fn, batch_or_ids, rgbs, key, dyn):
+    def _run_step(self, step_fn, rays, rgbs, key, dyn):
         """Invoke the compiled multi-step with the right data plumbing."""
         if self.device_data:
-            depth = self._depth_buf if self._depth_buf is not None else self._rgbs_buf
-            return step_fn(self.params, self.opt_state, batch_or_ids, key, dyn,
-                           self._rays_buf, self._rgbs_buf, depth)
-        return step_fn(self.params, self.opt_state, batch_or_ids, rgbs, key, dyn)
+            return step_fn(self.params, self.opt_state, key, dyn, self._train_buf)
+        return step_fn(self.params, self.opt_state, rays, rgbs, key, dyn)
 
     def _dyn_weights(self, iterations, tv_d, tv_a, ent, l1_w: float, ids=None):
         """Per-step dynamic loss weights for a fused chunk; the scalar
