@@ -123,6 +123,8 @@ class OmniBlenderDataset(EgoNeRFDataset):
 
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+        r0_, r1_, c0_, c1_ = self.roi
+        self.directions = directions[int(r0_ * h) : int(r1_ * h), int(c0_ * w) : int(c1_ * w)]
 
         with open(os.path.join(self.root_dir, f"{self.split}.txt")) as f:
             img_list = [line.strip() for line in f if line.strip()]
@@ -169,6 +171,8 @@ class EgocentricVideoDataset(EgoNeRFDataset):
         w, h = self.img_wh_origin
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+        r0_, r1_, c0_, c1_ = self.roi
+        self.directions = directions[int(r0_ * h) : int(r1_ * h), int(c0_ * w) : int(c1_ * w)]
 
         self.pose_descriptor.read_pose_file(self.root_dir, img_ext=".png")
         self.pose_descriptor.normalize_pose()
@@ -234,6 +238,8 @@ class OmniscenesDataset(EgoNeRFDataset):
         w, h = self.img_wh_origin
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+        r0_, r1_, c0_, c1_ = self.roi
+        self.directions = directions[int(r0_ * h) : int(r1_ * h), int(c0_ * w) : int(c1_ * w)]
 
         def load_one(paths):
             img_path, pose_path = paths
@@ -292,6 +298,7 @@ class LLFFDataset(EgoNeRFDataset):
             h, w = img.shape[:2]
             self.img_wh = (w, h)
             directions = get_ray_directions_blender(h, w, self.focal)
+            self.directions = directions
             rgbs_list.append(img.reshape(-1, 3))
             rays_o, rays_d = get_rays(directions, c2w)
             rays_list.append(np.concatenate([rays_o, rays_d], -1))
@@ -315,6 +322,10 @@ class SyntheticEgoDataset(EgoNeRFDataset):
         idx = (np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test] if self.split == "test"
                else np.asarray(sorted(set(range(n)) - set(np.arange(0, n, max(n // max(n_test, 1), 1))[:n_test].tolist()))))
         self.poses = poses[idx]
+        from .ray_utils import get_ray_directions_360 as _dirs360
+
+        dirs = _dirs360(height, width)
+        self.directions = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         rays, rgbs, depths = render_views(self.poses, height, width, wall_radius)
         self._finalize(list(rays), list(rgbs))
         # analytic ground-truth depth supports --use_depth supervision

@@ -43,6 +43,8 @@ class Renderer:
         self.mesh = mesh
         self.render_kwargs = dict(render_kwargs)
         self._jitted = {}
+        self._dirs_buf = None
+        self._n_rays_view = 0
 
     def _get_fn(self, pretrain_envmap: bool, n_chunks: int):
         cache_key = (pretrain_envmap, n_chunks)
@@ -82,6 +84,49 @@ class Renderer:
         return {k: np.asarray(v).reshape(n_pad, *v.shape[2:])[:n]
                 for k, v in out.items()}
 
+    # -- device-side ray generation -------------------------------------
+    # a full-resolution image is ~50 MB of rays; generating them on device
+    # from the (resident) direction grid + a 12-float pose avoids shipping
+    # that through the (slow) host link every image
+    def set_directions(self, directions: np.ndarray) -> None:
+        """Install the camera-frame direction grid (h, w, 3) or (N, 3)."""
+        dirs = np.asarray(directions, np.float32).reshape(-1, 3)
+        self._n_rays_view = dirs.shape[0]
+        n_pad = pad_to_multiple(self._n_rays_view, self.chunk)
+        if n_pad != self._n_rays_view:
+            dirs = np.concatenate([dirs, np.repeat(dirs[-1:], n_pad - dirs.shape[0], 0)])
+        self._dirs_buf = jax.device_put(dirs.reshape(n_pad // self.chunk, self.chunk, 3))
+
+    def render_view(self, params, c2w: np.ndarray) -> dict:
+        """Render one camera given its pose; requires set_directions()."""
+        c2w = np.asarray(c2w, np.float32)
+        rot = jnp.asarray(c2w[:3, :3])
+        origin = jnp.asarray(c2w[:3, 3])
+        key = ("view", self._dirs_buf.shape[0])
+        fn = self._jitted.get(key)
+        if fn is None:
+            kwargs = dict(self.render_kwargs)
+
+            def render_all(params, dirs_chunks, rot, origin):
+                def body(_, dirs):
+                    rays_d = dirs @ rot.T
+                    rays = jnp.concatenate(
+                        [jnp.broadcast_to(origin, rays_d.shape), rays_d], axis=-1)
+                    out = self.model.forward(params, rays, key=None,
+                                             is_train=False, **kwargs)
+                    return None, {k: out.get(k) for k in self.OUT_KEYS
+                                  if out.get(k) is not None}
+
+                _, outs = jax.lax.scan(body, None, dirs_chunks)
+                return outs
+
+            fn = jax.jit(render_all)
+            self._jitted[key] = fn
+        out = fn(params, self._dirs_buf, rot, origin)
+        n = self._n_rays_view
+        return {k: np.asarray(v).reshape(-1, *v.shape[2:])[:n]
+                for k, v in out.items()}
+
 
 def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
                n_vis: int = -1, prefix: str = "", compute_extra_metrics=True,
@@ -107,11 +152,22 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
             imageio.imwrite(os.path.join(save_path, "pretrained_envmap.png"), to_uint8(env))
         return []
 
+    # device-side ray generation: ship a 12-float pose per image instead of
+    # ~24 bytes/ray when the dataset kept its direction grid
+    device_raygen = (getattr(test_dataset, "directions", None) is not None
+                     and getattr(test_dataset, "poses", None) is not None
+                     and renderer.mesh is None)
+    if device_raygen:
+        renderer.set_directions(test_dataset.directions)
+
     psnrs, ssims, wssims, l_alex, l_vgg = [], [], [], [], []
     for out_idx, img_idx in enumerate(idxs):
-        rays = test_dataset.all_rays[img_idx].reshape(-1, 6)
         t0 = time.time()
-        out = renderer.render_rays(params, rays)
+        if device_raygen:
+            out = renderer.render_view(params, test_dataset.poses[img_idx])
+        else:
+            rays = test_dataset.all_rays[img_idx].reshape(-1, 6)
+            out = renderer.render_rays(params, rays)
         elapsed = time.time() - t0
 
         rgb = out["rgb"].reshape(h, w, 3)

@@ -56,3 +56,27 @@ def test_renderer_tail_padding(tmp_path):
     out_exact = r77.render_rays(params, rays)
     assert out_pad["rgb"].shape == (77, 3)
     np.testing.assert_allclose(out_pad["rgb"], out_exact["rgb"], atol=1e-5)
+
+
+def test_render_view_matches_render_rays():
+    """Device-side ray generation must reproduce the host-ray path."""
+    from egonerf_tpu.data.ray_utils import get_rays
+
+    coords = YinYangSphericalCoords(AABB, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      view_pe=2, fea_pe=2, feature_c=32)
+    model = EgoNeRF(AABB, coords.resolution, coords, cfg, near_far=(0.05, 8.5))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ds = SyntheticEgoDataset(n_train=2, n_test=1, height=10, width=20,
+                             split="test", is_stack=True)
+    renderer = Renderer(model, chunk=50, n_coarse=8, n_fine=8)
+    renderer.set_directions(ds.directions)
+
+    c2w = ds.poses[0]
+    out_view = renderer.render_view(params, c2w)
+    rays_o, rays_d = get_rays(ds.directions, c2w)
+    out_rays = renderer.render_rays(params, np.concatenate([rays_o, rays_d], -1))
+    np.testing.assert_allclose(out_view["rgb"], out_rays["rgb"], atol=1e-5)
+    np.testing.assert_allclose(out_view["depth"], out_rays["depth"], atol=1e-4)
