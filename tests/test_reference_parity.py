@@ -377,3 +377,41 @@ def test_sample_grid_matches_reference(ref_modules):
     _, our_z = ours.sample_ray_exp(jnp.asarray(rays[:, :3]),
                                    jnp.asarray(rays[:, 3:6]), None, 24)
     np.testing.assert_allclose(np.asarray(our_z)[0], ref_z.numpy()[0], atol=1e-5)
+
+
+def test_up_sampling_vm_matches_reference(ref_modules):
+    """The r-aware plane/line resampling used by the voxel-upsample schedule
+    (reference: models/coordinates.py:226-266)."""
+    import jax.numpy as jnp
+
+    RefCoords, _ = ref_modules
+    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+
+    aabb = np.array([[-5.0] * 3, [5.0] * 3], np.float32)
+    mine = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                                  interval_th=True)
+    ref = RefCoords("cpu", torch.tensor(aabb), exp_r=True, N_voxel=16**3,
+                    r0=0.05, interval_th=True)
+
+    rng = np.random.default_rng(13)
+    h, w, c = 12, mine.resolution[0], 4  # plane over (theta, r)
+    plane = rng.normal(size=(h, w, c)).astype(np.float32)
+    res_target = [mine.resolution[0] * 2, 20, 36]
+
+    # reference signature: weights (1, C, H, W), ids=[mat1, mat0]=[1, 0]
+    want = ref.up_sampling_VM(torch.tensor(plane.transpose(2, 0, 1)[None]),
+                              res_target=res_target, ids=[1, 0])
+    want = want[0].numpy().transpose(1, 2, 0)  # (H', W', C)
+
+    got = np.asarray(mine.up_sampling_VM(jnp.asarray(plane[None]), res_target,
+                                         ids=[1, 0]))[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # line along r (vec id 0)
+    line = rng.normal(size=(mine.resolution[0], c)).astype(np.float32)
+    want_l = ref.up_sampling_VM(torch.tensor(line.T[None, :, :, None]),
+                                res_target=res_target, ids=[0])
+    want_l = want_l[0, :, :, 0].numpy().T  # (L', C)
+    got_l = np.asarray(mine.up_sampling_VM(jnp.asarray(line[None]),
+                                           res_target, ids=[0]))[0]
+    np.testing.assert_allclose(got_l, want_l, atol=2e-4)
