@@ -389,6 +389,32 @@ class Trainer:
             return ids, jax.device_put(rays, sh), jax.device_put(rgbs, sh)
         return ids, jnp.asarray(rays), jnp.asarray(rgbs)
 
+    def set_datasets(self, train_dataset, test_dataset) -> None:
+        """Swap datasets after construction (e.g. programmatic experiments):
+        rebuilds the sampler, device-resident buffers and compiled steps."""
+        cfg = self.cfg
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        n_total = train_dataset.all_rays.shape[0]
+        if cfg.sampling_method == "simple":
+            self.sampler = SimpleSampler(n_total, cfg.batch_size, seed=cfg.seed)
+        elif cfg.sampling_method == "theta_importance":
+            img_len = n_total // int(np.prod(train_dataset.img_wh))
+            self.sampler = ThetaImportanceSampler(
+                cfg.theta_importance_lambda, img_len, train_dataset.img_wh,
+                cfg.batch_size, train_dataset.roi, seed=cfg.seed)
+        if self.device_data:
+            cols = [train_dataset.all_rays, train_dataset.all_rgbs]
+            if cfg.use_depth and train_dataset.all_depths is not None:
+                cols.append(train_dataset.all_depths.reshape(-1, 1))
+            packed = np.concatenate(cols, axis=1).astype(np.float32)
+            packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
+            sharding = replicated(self.mesh) if self.multi_device else None
+            self._train_buf = (jax.device_put(packed, sharding) if sharding
+                               else jax.device_put(packed))
+        self._step_cache = {}
+        self.renderer._jitted = {}
+
     def _run_step(self, step_fn, rays, rgbs, key, dyn):
         """Invoke the compiled multi-step with the right data plumbing."""
         if self.device_data:
