@@ -379,6 +379,105 @@ def test_sample_grid_matches_reference(ref_modules):
     np.testing.assert_allclose(np.asarray(our_z)[0], ref_z.numpy()[0], atol=1e-5)
 
 
+def _grad_pair(ref_modules, compute_dtype: str):
+    """Loss + per-tensor grads from both implementations on the same batch.
+
+    Guards the custom VJPs in ops/vm_lookup.py (packed-corner scatter
+    adjoints) against the reference autograd boundary
+    (reference: train.py:312-314, lookups at models/EgoNeRF.py:291-413).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+    from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
+
+    RefCoords, RefEgoNeRF = ref_modules
+    aabb = np.array([[-4.0] * 3, [4.0] * 3], np.float32)
+    near_far = [0.05, 4.0]
+    coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                      shading_mode="MLP_Fea", view_pe=2, fea_pe=2, feature_c=32,
+                      density_shift=-8.0, compute_dtype=compute_dtype)
+    ours = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
+    params = ours.init_params(jax.random.PRNGKey(0))
+
+    t_aabb = torch.tensor(aabb)
+    ref_coords = RefCoords("cpu", t_aabb, exp_r=True, N_voxel=16**3, r0=0.05,
+                           interval_th=True)
+    ref = RefEgoNeRF(
+        t_aabb, coords.resolution, "cpu", ref_coords,
+        density_n_comp=[4, 4, 4], appearance_n_comp=[8, 8, 8], app_dim=12,
+        near_far=near_far, shadingMode="MLP_Fea", density_shift=-8,
+        distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+        fea2denseAct="softplus", coarse_sigma_grid_update_rule="conv")
+    _copy_params(ref, params)
+
+    rays = rays_fixture(64, seed=21)
+    target = np.random.default_rng(22).uniform(0, 1, (64, 3)).astype(np.float32)
+
+    r_rgb, _, _, _, _ = ref(torch.tensor(rays), is_train=False, ndc_ray=False,
+                            n_coarse=24, n_fine=24, exp_sampling=True,
+                            resampling=True, use_coarse_sample=True,
+                            interval_th=True)
+    loss_t = torch.mean((r_rgb - torch.tensor(target)) ** 2)
+    loss_t.backward()
+
+    def loss_fn(p):
+        out = ours.forward(p, jnp.asarray(rays), key=None, is_train=False,
+                           n_coarse=24, n_fine=24, exp_sampling=True,
+                           resampling=True, use_coarse_sample=True)
+        return jnp.mean((out["rgb"] - jnp.asarray(target)) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+
+    pairs = {}
+    for i in range(3):
+        for nm in ("density", "app"):
+            pairs[f"{nm}_planes[{i}]"] = (grads[f"{nm}_planes"][i], np.stack([
+                getattr(ref, f"{nm}_plane_yin")[i].grad.numpy()[0].transpose(1, 2, 0),
+                getattr(ref, f"{nm}_plane_yang")[i].grad.numpy()[0].transpose(1, 2, 0)]))
+            pairs[f"{nm}_lines[{i}]"] = (grads[f"{nm}_lines"][i], np.stack([
+                getattr(ref, f"{nm}_line_yin")[i].grad.numpy()[0, :, :, 0].T,
+                getattr(ref, f"{nm}_line_yang")[i].grad.numpy()[0, :, :, 0].T]))
+    pairs["basis"] = (grads["basis"], np.stack([
+        ref.basis_mat_yin.weight.grad.numpy().T,
+        ref.basis_mat_yang.weight.grad.numpy().T]))
+    layers = [ref.renderModule.mlp[0], ref.renderModule.mlp[2], ref.renderModule.mlp[4]]
+    for layer, k in zip(layers, ("l1", "l2", "l3")):
+        pairs[f"shader.{k}.w"] = (grads["shader"][k]["w"], layer.weight.grad.numpy().T)
+        pairs[f"shader.{k}.b"] = (grads["shader"][k]["b"], layer.bias.grad.numpy())
+    return float(loss_t), float(loss_j), pairs
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_gradients_match_reference(ref_modules, compute_dtype):
+    """Backward parity of the fused-lookup VJPs (ops/vm_lookup.py:140-225)
+    vs torch autograd, per parameter tensor.
+
+    Tolerances: the forward gather reads bf16-packed rows (~0.4% per-fetch
+    quantization, see vm_lookup.py docstring), which propagates into every
+    grid gradient — measured max-rel error ~1.7e-2 of each tensor's grad
+    scale at f32 scatters; bf16 scatters add <1e-2 on top.  Cosine
+    similarity stays >0.9999 for every tensor; the (bf16-free) shading-MLP
+    grads match to ~4e-6.
+    """
+    loss_t, loss_j, pairs = _grad_pair(ref_modules, compute_dtype)
+    assert abs(loss_t - loss_j) < 1e-4 * max(1.0, abs(loss_t))
+
+    for name, (g_ours, g_ref) in pairs.items():
+        a = np.asarray(g_ours, np.float64)
+        b = np.asarray(g_ref, np.float64)
+        scale = np.abs(b).max() + 1e-12
+        maxrel = np.abs(a - b).max() / scale
+        cos = float((a * b).sum() /
+                    (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        tol = 5e-5 if name.startswith("shader") else 4e-2
+        assert maxrel < tol, f"{name}: max-rel grad err {maxrel:.2e} (tol {tol})"
+        assert cos > 0.9999, f"{name}: grad direction cos {cos:.6f}"
+
+
 def test_up_sampling_vm_matches_reference(ref_modules):
     """The r-aware plane/line resampling used by the voxel-upsample schedule
     (reference: models/coordinates.py:226-266)."""
