@@ -1,14 +1,26 @@
 """Benchmark: training throughput at the reference's headline configuration.
 
-Measures steady-state rays/sec of the REAL training loop — the Trainer's
-fused-scan step (forward with 128 coarse + 128 resampled fine samples,
-losses, Adam, device-resident ray buffers with on-device batch gathers) at
-the reference grid budget N_voxel=27e6 and batch 4096
-(reference: configs/EgoNeRF/common.txt:6-23).
+Measures steady-state rays/sec of the REAL compiled training step — the
+Trainer's fused-scan multi-step (forward with 128 coarse + 128 resampled
+fine samples, all losses, Adam, in-step ray-id sampling from device-resident
+buffers, in-step schedule weights) at the reference grid budget
+N_voxel=27e6 and batch 4096 (reference: configs/EgoNeRF/common.txt:6-23).
+
+Robustness (the host has ONE cpu core and reaches the TPU through a
+tunnel, so concurrent host load can starve the dispatch path):
+  * the process raises its own scheduling priority,
+  * the executing JAX platform/device is asserted and recorded,
+  * the timed region is split into independent segments with calls issued
+    back-to-back (async) and ONE sync per segment; the headline value is
+    the median segment rate,
+  * a separate per-call-synced segment records the step-latency
+    distribution (p50/p95),
+  * a result below the sanity floor or with high segment spread is
+    flagged in the output instead of silently recorded.
 
 ``vs_baseline`` compares against an RTX-3090 reference-throughput estimate
-(see BASELINE.md: the reference repo publishes no numbers; 30k rays/s is
-our recorded estimate of the reference implementation's training rate).
+(see BASELINE.md for the derivation; the reference repo publishes no
+throughput numbers).
 
 Prints exactly one JSON line on stdout.
 """
@@ -16,61 +28,110 @@ import contextlib
 import io
 import json
 import os
+import statistics
 import sys
 import time
 
-
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+SANITY_FLOOR = 9_000.0  # rays/s; below this the host/TPU was degraded
+
+WARMUP_ITERS = 96
+STEPS_PER_CALL = 8
+CALLS_PER_SEG = 5
+N_SEGMENTS = 4
 
 
 def main():
+    result = {"metric": "train_rays_per_sec", "unit": "rays/s"}
+    try:
+        os.nice(-10)  # measure the TPU, not host scheduling luck
+    except OSError:
+        pass
+    load0 = os.getloadavg()[0]
+
+    import jax
+
+    dev = jax.devices()[0]
+    result["platform"] = dev.platform
+    result["device"] = getattr(dev, "device_kind", str(dev))
+    if dev.platform == "cpu":
+        result.update(value=0.0, vs_baseline=0.0,
+                      error="executing on CPU, not a TPU backend")
+        print(json.dumps(result))
+        return
+
     from egonerf_tpu.train.config import load_config
     from egonerf_tpu.train.trainer import Trainer
 
-    warmup_iters, bench_iters = 96, 160
     cfg = load_config(overrides=dict(
         dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
         exp_sampling=True, interval_th=True, r0="0.03", resampling=True,
         use_coarse_sample=True, n_coarse=128, n_fine=128, batch_size=4096,
-        n_iters=warmup_iters, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
+        n_iters=WARMUP_ITERS, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
         n_lamb_sigma="[16,16,16]", n_lamb_sh="[48,48,48]", data_dim_color=27,
         shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
         view_pe=2, fea_pe=2, featureC=128, lr_init=0.02, sparsity_lambda=0,
         near_far="[0.01, 15.0]", progress_refresh_rate=10**9,
         basedir="/tmp/egonerf_bench", expname="bench", N_vis=0,
-        vis_list="[1000000000]", i_weights=10**9, steps_per_call=8,
+        vis_list="[1000000000]", i_weights=10**9, steps_per_call=STEPS_PER_CALL,
         compute_dtype=COMPUTE_DTYPE, seed=0,
     ))
 
     log = io.StringIO()
     with contextlib.redirect_stdout(log):
         trainer = Trainer(cfg)
-        trainer.train()  # warmup + compile
-        # timed segment: continue the SAME compiled loop
-        trainer.start_step = warmup_iters
-        trainer.cfg.n_iters = warmup_iters + bench_iters
-        t0 = time.perf_counter()
-        trainer.train()
-        # train() ends with a checkpoint save which syncs params to host,
-        # so the device queue is drained here
-        dt = time.perf_counter() - t0
+        trainer.train()  # warmup + compile of the fused 8-step program
 
-    # subtract the final checkpoint-save host sync from the measurement by
-    # timing it separately
-    t1 = time.perf_counter()
-    with contextlib.redirect_stdout(log):
-        trainer.save("/tmp/egonerf_bench/timing_probe.npz", 0)
-    save_cost = time.perf_counter() - t1
-    dt = max(dt - save_cost, 1e-6)
+        # drive the SAME compiled multi-step the trainer just ran
+        step_fn = trainer._get_step(1, n_steps=STEPS_PER_CALL,
+                                    l1_w=cfg.L1_weight_initial)
+        step0, key = trainer._device_counters(
+            WARMUP_ITERS, jax.random.PRNGKey(cfg.seed + 3))
 
-    rays_per_sec = cfg.batch_size * bench_iters / dt
-    print(json.dumps({
-        "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+        def run_calls(n_calls, sync_each=False):
+            nonlocal step0, key
+            per_call = []
+            t_seg = time.perf_counter()
+            for _ in range(n_calls):
+                t0 = time.perf_counter()
+                (trainer.params, trainer.opt_state, key, step0,
+                 mses) = trainer._run_step(step_fn, None, key, step0)
+                if sync_each:
+                    float(mses[-1])
+                    per_call.append(time.perf_counter() - t0)
+            float(mses[-1])  # drain the device queue
+            return time.perf_counter() - t_seg, per_call
+
+        run_calls(1)  # settle after warmup's tail chunks
+
+        seg_rates = []
+        for _ in range(N_SEGMENTS):
+            dt, _ = run_calls(CALLS_PER_SEG)
+            seg_rates.append(cfg.batch_size * STEPS_PER_CALL * CALLS_PER_SEG / dt)
+
+        # per-call latency distribution (each call synced)
+        _, per_call = run_calls(CALLS_PER_SEG, sync_each=True)
+
+    value = statistics.median(seg_rates)
+    step_ms = sorted(1000.0 * t / STEPS_PER_CALL for t in per_call)
+    result.update(
+        value=round(value, 1),
+        vs_baseline=round(value / BASELINE_RAYS_PER_SEC, 3),
+        segments_rays_per_sec=[round(r, 1) for r in seg_rates],
+        step_ms_p50=round(step_ms[len(step_ms) // 2], 1),
+        step_ms_p95=round(step_ms[-1], 1),
+        load_avg_start=round(load0, 2),
+        load_avg_end=round(os.getloadavg()[0], 2),
+    )
+    spread = max(seg_rates) / max(min(seg_rates), 1e-9)
+    if spread > 1.3:
+        result["warning_unstable"] = f"segment spread {spread:.2f}x"
+    if value < SANITY_FLOOR:
+        result["warning_degraded"] = (
+            f"below sanity floor {SANITY_FLOOR:.0f} rays/s — host or TPU was "
+            f"contended during this run (see load_avg)")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -49,3 +49,41 @@ class ThetaImportanceSampler:
         col = self.rng.choice(self.w, self.batch)
         row = self.rng.choice(self.h, self.batch, p=self.weight)
         return img_id * self.w * self.h + (col + row * self.w)
+
+
+def make_device_id_sampler(sampler, batch_size: int, n_total: int):
+    """Build a traced ``fn(key) -> (batch,) int32`` drawing flat ray ids ON
+    DEVICE with the same per-draw distribution as ``sampler``, so the whole
+    batch selection runs inside the compiled train step (zero host bytes).
+
+    * :class:`SimpleSampler` -> uniform-with-replacement over the buffer
+      (both samplers in the reference are with-replacement across epochs;
+      see reference sampler.py:33-38 for the importance variant).
+    * :class:`ThetaImportanceSampler` -> image and column uniform; the row
+      drawn by inverse-CDF over the cos-latitude weight table
+      (reference: sampler.py:28-38).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(sampler, ThetaImportanceSampler):
+        cdf = jnp.asarray(np.cumsum(sampler.weight), jnp.float32)
+        img_len, w, h = sampler.img_len, sampler.w, sampler.h
+
+        def draw(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            img = jax.random.randint(k1, (batch_size,), 0, img_len)
+            col = jax.random.randint(k2, (batch_size,), 0, w)
+            u = jax.random.uniform(k3, (batch_size,))
+            # first row with cdf >= u: P(row=i) = weight[i]
+            row = jnp.minimum(
+                jnp.searchsorted(cdf, u, side="left", method="compare_all"),
+                h - 1)
+            return img * (w * h) + row * w + col
+
+        return draw
+
+    def draw(key):
+        return jax.random.randint(key, (batch_size,), 0, n_total)
+
+    return draw

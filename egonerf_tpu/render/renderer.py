@@ -89,13 +89,20 @@ class Renderer:
     # from the (resident) direction grid + a 12-float pose avoids shipping
     # that through the (slow) host link every image
     def set_directions(self, directions: np.ndarray) -> None:
-        """Install the camera-frame direction grid (h, w, 3) or (N, 3)."""
+        """Install the camera-frame direction grid (h, w, 3) or (N, 3).
+        On a mesh the chunk axis is sharded so every chip renders a slice
+        of each chunk."""
         dirs = np.asarray(directions, np.float32).reshape(-1, 3)
         self._n_rays_view = dirs.shape[0]
         n_pad = pad_to_multiple(self._n_rays_view, self.chunk)
         if n_pad != self._n_rays_view:
             dirs = np.concatenate([dirs, np.repeat(dirs[-1:], n_pad - dirs.shape[0], 0)])
-        self._dirs_buf = jax.device_put(dirs.reshape(n_pad // self.chunk, self.chunk, 3))
+        dirs = dirs.reshape(n_pad // self.chunk, self.chunk, 3)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
+            self._dirs_buf = jax.device_put(dirs, sh)
+        else:
+            self._dirs_buf = jax.device_put(dirs)
 
     def render_view(self, params, c2w: np.ndarray) -> dict:
         """Render one camera given its pose; requires set_directions()."""
@@ -120,7 +127,11 @@ class Renderer:
                 _, outs = jax.lax.scan(body, None, dirs_chunks)
                 return outs
 
-            fn = jax.jit(render_all)
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
+                fn = jax.jit(render_all, in_shardings=(None, sh, None, None))
+            else:
+                fn = jax.jit(render_all)
             self._jitted[key] = fn
         out = fn(params, self._dirs_buf, rot, origin)
         n = self._n_rays_view
@@ -155,8 +166,7 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
     # device-side ray generation: ship a 12-float pose per image instead of
     # ~24 bytes/ray when the dataset kept its direction grid
     device_raygen = (getattr(test_dataset, "directions", None) is not None
-                     and getattr(test_dataset, "poses", None) is not None
-                     and renderer.mesh is None)
+                     and getattr(test_dataset, "poses", None) is not None)
     if device_raygen:
         renderer.set_directions(test_dataset.directions)
 
@@ -210,6 +220,21 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
             if l_vgg:
                 row.append(float(np.mean(l_vgg)))
         np.savetxt(os.path.join(save_path, f"{prefix}mean.txt"), np.asarray(row))
+        # machine-stable schema: fixed keys, null where the metric is
+        # unavailable in this environment (mean.txt's row length varies
+        # with lpips availability; downstream tooling should read this)
+        summary = {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)) if ssims else None,
+            "ws_ssim": float(np.mean(wssims)) if wssims else None,
+            "lpips_alex": float(np.mean(l_alex)) if l_alex else None,
+            "lpips_vgg": float(np.mean(l_vgg)) if l_vgg else None,
+            "n_images": len(psnrs),
+        }
+        import json
+
+        with open(os.path.join(save_path, f"{prefix}mean.json"), "w") as f:
+            json.dump(summary, f, indent=1)
     return psnrs
 
 

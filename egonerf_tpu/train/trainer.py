@@ -7,10 +7,15 @@ ray-id draw and a sharded device_put of the (batch, 6+3) arrays; everything
 else runs on device.  On a multi-chip mesh the batch is sharded over
 ``data`` and XLA inserts the gradient psum.
 
-Dynamic loss weights (the per-step TV/entropy decay, the L1 switch after
-the first alpha-mask update, the depth lambda schedule) are passed as
-device scalars so they never retrace; schedule *phase changes* (resampling
-warmup end, TV cutoff, entropy start) rebuild the step function — a handful
+Dynamic loss weights (the per-step TV/entropy decay, the depth lambda
+schedule) are closed-form functions of the iteration index and are
+evaluated *inside* the compiled step from a device-resident step counter;
+the RNG key likewise advances on device.  A fused chunk of ``steps_per_call``
+optimizer steps is therefore exactly ONE launch RPC with zero host->device
+transfers — on this host (1 CPU core behind a device tunnel) that makes
+training throughput immune to concurrent host load.  Schedule *phase
+changes* (resampling warmup end, TV cutoff, entropy start, the L1 switch
+after the first alpha-mask update) rebuild the step function — a handful
 of retraces per run.
 """
 from __future__ import annotations
@@ -179,8 +184,13 @@ class Trainer:
         # rows padded to 32 f32 (128 B): TPU gathers of sub-128-byte rows
         # take a ~20x slower path (see ops/vm_lookup.py's cost model)
         buf_bytes = n_rays_buf * 32 * 4
+        # theta_importance keeps the zero-host-bytes path too (in-step
+        # inverse-CDF row draw) — unless filter_ray compacted the buffer,
+        # which breaks its flat (img, row, col) index layout
         self.device_data = (buf_bytes < 6 * 2**30 and cfg.device_sampling
-                            and cfg.sampling_method == "simple")
+                            and (cfg.sampling_method == "simple"
+                                 or (cfg.sampling_method == "theta_importance"
+                                     and not cfg.filter_ray)))
         if self.device_data:
             cols = [self.train_dataset.all_rays, self.train_dataset.all_rgbs]
             if cfg.use_depth and self.train_dataset.all_depths is not None:
@@ -211,6 +221,10 @@ class Trainer:
 
         self._step_cache = {}
         self.lr_factor = cfg.lr_decay_target_ratio ** (1.0 / self.decay_iters)
+        # schedule decay counting restarts at the resume point, matching the
+        # reference's process-local mutable TV/entropy weights
+        # (reference: train.py:295-310 — not checkpointed there either)
+        self._sched_start = self.start_step
 
     # ------------------------------------------------------------------
     def _build_optimizer(self, lr_scale: float, lr_envmap: Optional[float] = None):
@@ -227,19 +241,57 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_step(self, *, resampling: bool, tv_on: bool, entropy_on: bool,
-                   envmap_pretrain: bool = False, n_steps: int = 1):
+                   envmap_pretrain: bool = False, n_steps: int = 1,
+                   l1_w: float = 0.0):
         """Build one jitted multi-step for a schedule phase.
 
         ``n_steps`` consecutive optimizer steps are fused into a single
-        dispatch with ``lax.scan`` — per-call host/dispatch overhead (which
-        is substantial through the device tunnel) amortizes across them.
-        Batches arrive stacked (n_steps, batch, ...).
+        dispatch with ``lax.scan``.  The step counter and RNG key live on
+        device and advance inside the call; the decaying TV/entropy/depth
+        loss weights are closed forms of the iteration index evaluated
+        in-jit (reference keeps them as host-side mutable floats,
+        train.py:295-310).  One fused chunk is therefore a single launch
+        RPC — per-call host/dispatch overhead (substantial through the
+        device tunnel, and worse under host CPU contention) amortizes
+        across the whole chunk.
         """
         cfg = self.cfg
         model = self.model
         tx = self.tx
+        sched_start = int(self._sched_start)
+        lr_factor = float(self.lr_factor)
 
-        def one_step(params, opt_state, rays, rgbs, key, dyn):
+        def dyn_of(it):
+            """Loss-schedule weights at (traced) iteration ``it``."""
+            dyn = {"l1_w": jnp.float32(l1_w)}
+            if tv_on and (cfg.TV_weight_density > 0 or cfg.TV_weight_app > 0):
+                # the host loop multiplied tv *= lr_factor once per iteration
+                # j in [sched_start, min(it, iter_ignore_TV-1)]
+                n_dec = jnp.maximum(
+                    jnp.minimum(it, cfg.iter_ignore_TV - 1) - sched_start + 1, 0)
+                f = jnp.power(jnp.float32(lr_factor), n_dec.astype(jnp.float32))
+                dyn["tv_density_w"] = cfg.TV_weight_density * f
+                dyn["tv_app_w"] = cfg.TV_weight_app * f
+            if entropy_on and cfg.entropy_weight > 0:
+                n_dec = jnp.maximum(
+                    it - max(sched_start, cfg.iter_ignore_entropy + 1) + 1, 0)
+                dyn["entropy_w"] = cfg.entropy_weight * jnp.power(
+                    jnp.float32(lr_factor), n_dec.astype(jnp.float32))
+            if cfg.use_depth:
+                # reference: depth_lambda * rate^(it // step_size), cut off
+                # after depth_end_iter
+                w = cfg.depth_lambda * jnp.power(
+                    jnp.float32(cfg.depth_rate),
+                    (it // cfg.depth_step_size).astype(jnp.float32))
+                if cfg.depth_end_iter is not None:
+                    w = jnp.where(it > cfg.depth_end_iter, 0.0, w)
+                dyn["depth_w"] = w
+            return dyn
+
+        def one_step(params, opt_state, row, key, it):
+            rays, rgbs = row[:, :6], row[:, 6:9]
+            dyn = dyn_of(it)
+
             def loss_fn(p):
                 if envmap_pretrain:
                     out = model.forward(p, rays, pretrain_envmap=True)
@@ -266,8 +318,9 @@ class Trainer:
                 if entropy_on and cfg.entropy_weight > 0:
                     total = total + dyn["entropy_w"] * ray_entropy(out["alpha"])
                 if cfg.use_depth:
-                    mask = dyn["depth_mask"]
-                    dloss = jnp.sum(mask * (out["depth"] - dyn["depth_gt"]) ** 2) / (
+                    depth_gt = row[:, 9]
+                    mask = (depth_gt != 0).astype(jnp.float32)
+                    dloss = jnp.sum(mask * (out["depth"] - depth_gt) ** 2) / (
                         jnp.sum(mask) + 1e-8)
                     total = total + dyn["depth_w"] * dloss
                 return total, (mse, None)
@@ -280,62 +333,66 @@ class Trainer:
         if self.device_data:
             # batches are sampled AND gathered on device from resident
             # buffers: zero training data crosses the host boundary.  Ray
-            # ids draw uniformly (with replacement) inside the step — the
-            # theta-importance sampler is with-replacement in the reference
-            # too (reference: sampler.py:33-38); the epoch-permutation
-            # host sampler remains available via device_sampling=False.
+            # ids draw inside the step — uniform with replacement for
+            # SimpleSampler (the reference importance sampler is
+            # with-replacement too, sampler.py:33-38) or the latitude-
+            # weighted inverse-CDF draw for ThetaImportanceSampler; the
+            # epoch-permutation host sampler remains available via
+            # device_sampling=False.
             n_total = int(self.train_dataset.all_rays.shape[0])
+            from ..data.samplers import make_device_id_sampler
 
-            def multi_step(params, opt_state, key, dyn_k, train_buf):
-                keys = jax.random.split(key, n_steps)
+            draw_ids = make_device_id_sampler(self.sampler, cfg.batch_size,
+                                              n_total)
+
+            def multi_step(params, opt_state, key, step0, train_buf):
+                keys = jax.random.split(key, n_steps + 1)
+                its = step0 + jnp.arange(n_steps, dtype=jnp.int32)
 
                 def body(carry, xs):
                     p, s = carry
-                    k, dyn = xs
+                    k, it = xs
                     k_ids, k_step = jax.random.split(k)
-                    ids = jax.random.randint(k_ids, (cfg.batch_size,), 0, n_total)
+                    ids = draw_ids(k_ids)
                     row = jnp.take(train_buf, ids, axis=0)
-                    rays, rgbs = row[:, :6], row[:, 6:9]
-                    if cfg.use_depth:
-                        depth = row[:, 9]
-                        dyn = dict(dyn, depth_gt=depth,
-                                   depth_mask=(depth != 0).astype(jnp.float32))
-                    p, s, mse = one_step(p, s, rays, rgbs, k_step, dyn)
+                    p, s, mse = one_step(p, s, row, k_step, it)
                     return (p, s), mse
 
                 (params, opt_state), mses = jax.lax.scan(
-                    body, (params, opt_state), (keys, dyn_k))
-                return params, opt_state, mses
+                    body, (params, opt_state), (keys[1:], its))
+                return params, opt_state, keys[0], step0 + n_steps, mses
 
             if self.multi_device:
                 rep = replicated(self.mesh)
                 return jax.jit(multi_step, donate_argnums=(0, 1),
                                in_shardings=(rep, rep, rep, rep, rep),
-                               out_shardings=(rep, rep, rep))
+                               out_shardings=(rep, rep, rep, rep, rep))
             return jax.jit(multi_step, donate_argnums=(0, 1))
 
-        def multi_step(params, opt_state, rays_k, rgbs_k, key, dyn_k):
-            keys = jax.random.split(key, n_steps)
+        def multi_step(params, opt_state, batch_k, key, step0):
+            keys = jax.random.split(key, n_steps + 1)
+            its = step0 + jnp.arange(n_steps, dtype=jnp.int32)
 
             def body(carry, xs):
                 p, s = carry
-                rays, rgbs, k, dyn = xs
-                p, s, mse = one_step(p, s, rays, rgbs, k, dyn)
+                row, k, it = xs
+                p, s, mse = one_step(p, s, row, k, it)
                 return (p, s), mse
 
             (params, opt_state), mses = jax.lax.scan(
-                body, (params, opt_state), (rays_k, rgbs_k, keys, dyn_k))
-            return params, opt_state, mses
+                body, (params, opt_state), (batch_k, keys[1:], its))
+            return params, opt_state, keys[0], step0 + n_steps, mses
 
         if self.multi_device:
-            bs = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            bs = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
             rep = replicated(self.mesh)
             return jax.jit(multi_step, donate_argnums=(0, 1),
-                           in_shardings=(rep, rep, bs, bs, rep, rep),
-                           out_shardings=(rep, rep, rep))
+                           in_shardings=(rep, rep, bs, rep, rep),
+                           out_shardings=(rep, rep, rep, rep, rep))
         return jax.jit(multi_step, donate_argnums=(0, 1))
 
-    def _get_step(self, iteration: int, n_steps: int = 1, envmap_pretrain=False):
+    def _get_step(self, iteration: int, n_steps: int = 1, envmap_pretrain=False,
+                  l1_w: float = 0.0):
         cfg = self.cfg
         phase = (
             envmap_pretrain,
@@ -343,12 +400,13 @@ class Trainer:
             iteration < cfg.iter_ignore_TV,
             iteration > cfg.iter_ignore_entropy,
             n_steps,
+            float(l1_w),
         )
         fn = self._step_cache.get(phase)
         if fn is None:
             fn = self._make_step(resampling=phase[1], tv_on=phase[2],
                                  entropy_on=phase[3], envmap_pretrain=phase[0],
-                                 n_steps=n_steps)
+                                 n_steps=n_steps, l1_w=float(l1_w))
             self._step_cache[phase] = fn
         return fn
 
@@ -378,16 +436,20 @@ class Trainer:
     def _gather_batches(self, n_steps: int):
         """Draw n_steps ray batches.  With device-resident buffers nothing
         crosses the host boundary (ids are drawn inside the step);
-        otherwise stacked (n_steps, batch, ...) host batches are put."""
+        otherwise ONE packed (n_steps, batch, 9|10) host batch is put
+        (rays | rgbs | optional depth)."""
         if self.device_data:
-            return None, None, None
+            return None
         ids = np.stack([self.sampler.nextids() for _ in range(n_steps)]).astype(np.int32)
-        rays = self.train_dataset.all_rays[ids]
-        rgbs = self.train_dataset.all_rgbs[ids]
+        cols = [self.train_dataset.all_rays[ids], self.train_dataset.all_rgbs[ids]]
+        if self.cfg.use_depth and self.train_dataset.all_depths is not None:
+            cols.append(self.train_dataset.all_depths[ids].reshape(
+                n_steps, -1, 1))
+        batch = np.concatenate(cols, axis=-1).astype(np.float32)
         if self.multi_device:
-            sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
-            return ids, jax.device_put(rays, sh), jax.device_put(rgbs, sh)
-        return ids, jnp.asarray(rays), jnp.asarray(rgbs)
+            sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
+            return jax.device_put(batch, sh)
+        return jnp.asarray(batch)
 
     def set_datasets(self, train_dataset, test_dataset) -> None:
         """Swap datasets after construction (e.g. programmatic experiments):
@@ -415,33 +477,20 @@ class Trainer:
         self._step_cache = {}
         self.renderer._jitted = {}
 
-    def _run_step(self, step_fn, rays, rgbs, key, dyn):
-        """Invoke the compiled multi-step with the right data plumbing."""
+    def _run_step(self, step_fn, batch, key, step0):
+        """Invoke the compiled multi-step; returns the updated
+        (params, opt_state, key, step counter, per-step mses)."""
         if self.device_data:
-            return step_fn(self.params, self.opt_state, key, dyn, self._train_buf)
-        return step_fn(self.params, self.opt_state, rays, rgbs, key, dyn)
+            return step_fn(self.params, self.opt_state, key, step0, self._train_buf)
+        return step_fn(self.params, self.opt_state, batch, key, step0)
 
-    def _dyn_weights(self, iterations, tv_d, tv_a, ent, l1_w: float, ids=None):
-        """Per-step dynamic loss weights for a fused chunk; the scalar
-        arguments are (n_steps,) arrays."""
-        cfg = self.cfg
-        dyn = {
-            "tv_density_w": jnp.asarray(tv_d, jnp.float32),
-            "tv_app_w": jnp.asarray(tv_a, jnp.float32),
-            "entropy_w": jnp.asarray(ent, jnp.float32),
-            "l1_w": jnp.asarray(np.full(len(iterations), l1_w), jnp.float32),
-        }
-        if cfg.use_depth:
-            lam = np.array([
-                0.0 if (cfg.depth_end_iter is not None and it > cfg.depth_end_iter)
-                else cfg.depth_lambda * cfg.depth_rate ** (it // cfg.depth_step_size)
-                for it in iterations], np.float32)
-            dyn["depth_w"] = jnp.asarray(lam)
-            if not self.device_data:
-                depth = self.train_dataset.all_depths[ids].reshape(ids.shape[0], -1)
-                dyn["depth_gt"] = jnp.asarray(depth)
-                dyn["depth_mask"] = jnp.asarray((depth != 0).astype(np.float32))
-        return dyn
+    def _device_counters(self, start: int, key):
+        """Device-resident step counter + RNG key (replicated on a mesh)."""
+        step0 = np.int32(start)
+        if self.multi_device:
+            rep = replicated(self.mesh)
+            return jax.device_put(step0, rep), jax.device_put(key, rep)
+        return jax.device_put(step0), key
 
     # ------------------------------------------------------------------
     def pretrain_envmap(self):
@@ -455,18 +504,14 @@ class Trainer:
             # perturb the restored envmap — reference: train.py:218-242)
             return
         print(f"pretraining envmap for {cfg.iter_pretrain_envmap} iters")
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        step0, key = self._device_counters(0, jax.random.PRNGKey(cfg.seed + 1))
         it = 0
         while it < cfg.iter_pretrain_envmap:
             k_steps = min(max(1, cfg.steps_per_call), cfg.iter_pretrain_envmap - it)
             step_fn = self._get_step(0, n_steps=k_steps, envmap_pretrain=True)
-            ids, rays, rgbs = self._gather_batches(k_steps)
-            dyn = self._dyn_weights(list(range(it, it + k_steps)),
-                                    [0.0] * k_steps, [0.0] * k_steps,
-                                    [0.0] * k_steps, 0.0, ids)
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, mses = self._run_step(
-                step_fn, rays, rgbs, sub, dyn)
+            batch = self._gather_batches(k_steps)
+            self.params, self.opt_state, key, step0, mses = self._run_step(
+                step_fn, batch, key, step0)
             it += k_steps
             if it % 200 < k_steps:
                 print(f"  envmap pretrain {it}: mse {float(mses[-1]):.5f}")
@@ -483,9 +528,9 @@ class Trainer:
 
         vis_list = set(cfg.vis_list or [])
         update_alpha_list = cfg.update_AlphaMask_list or []
-        tv_d, tv_a, ent = cfg.TV_weight_density, cfg.TV_weight_app, cfg.entropy_weight
         l1_w = cfg.L1_weight_initial
-        key = jax.random.PRNGKey(cfg.seed + 2)
+        step0, key = self._device_counters(self.start_step,
+                                           jax.random.PRNGKey(cfg.seed + 2))
         psnrs, psnrs_test = [], [0.0]
         t_start, rays_done = time.time(), 0
 
@@ -504,26 +549,10 @@ class Trainer:
 
             k_steps = self._chunk_len(iteration)
             iters = list(range(iteration, iteration + k_steps))
-            ids, rays, rgbs = self._gather_batches(k_steps)
-            key, sub = jax.random.split(key)
-
-            # per-step decay of TV/entropy weights (reference: train.py:295-310)
-            tv_d_k, tv_a_k, ent_k = [], [], []
-            for it in iters:
-                if tv_d > 0 and it < cfg.iter_ignore_TV:
-                    tv_d *= self.lr_factor
-                if tv_a > 0 and it < cfg.iter_ignore_TV:
-                    tv_a *= self.lr_factor
-                if ent > 0 and it > cfg.iter_ignore_entropy:
-                    ent *= self.lr_factor
-                tv_d_k.append(tv_d)
-                tv_a_k.append(tv_a)
-                ent_k.append(ent)
-
-            step_fn = self._get_step(iteration, n_steps=k_steps)
-            dyn = self._dyn_weights(iters, tv_d_k, tv_a_k, ent_k, l1_w, ids)
-            self.params, self.opt_state, mses = self._run_step(
-                step_fn, rays, rgbs, sub, dyn)
+            batch = self._gather_batches(k_steps)
+            step_fn = self._get_step(iteration, n_steps=k_steps, l1_w=l1_w)
+            self.params, self.opt_state, key, step0, mses = self._run_step(
+                step_fn, batch, key, step0)
 
             rays_done += cfg.batch_size * k_steps
             log_offsets = [i for i, it in enumerate(iters)

@@ -75,6 +75,48 @@ def test_theta_importance_sampler_prefers_equator():
     assert mid > pole
 
 
+def test_device_theta_sampler_matches_host_distribution():
+    """The in-step inverse-CDF draw must reproduce the host sampler's
+    marginals: latitude-weighted rows, uniform images and columns
+    (reference math: sampler.py:28-38)."""
+    import jax
+
+    from egonerf_tpu.data.samplers import make_device_id_sampler
+
+    w, h, img_len, n = 64, 32, 3, 60000
+    s = ThetaImportanceSampler(5.0, img_len=img_len, img_wh=(w, h), batch=n,
+                               roi=[0.0, 1.0, 0.0, 1.0])
+    draw = make_device_id_sampler(s, n, img_len * w * h)
+    ids = np.asarray(jax.jit(draw)(jax.random.PRNGKey(0)))
+    assert ids.min() >= 0 and ids.max() < img_len * w * h
+
+    host_ids = s.nextids()
+    for name, got, want, bins in (
+        ("row", (ids % (w * h)) // w, (host_ids % (w * h)) // w, h),
+        ("img", ids // (w * h), host_ids // (w * h), img_len),
+        ("col", ids % w, host_ids % w, w),
+    ):
+        pg = np.bincount(got, minlength=bins) / n
+        pw = np.bincount(want, minlength=bins) / n
+        assert np.abs(pg - pw).max() < 0.012, f"{name} marginal diverges"
+    # row marginal against the exact weight table, not just the host draw
+    p_row = np.bincount((ids % (w * h)) // w, minlength=h) / n
+    assert np.abs(p_row - s.weight).max() < 0.008
+
+
+def test_device_simple_sampler_uniform():
+    import jax
+
+    from egonerf_tpu.data.samplers import make_device_id_sampler
+
+    s = SimpleSampler(500, 50000)
+    draw = make_device_id_sampler(s, 50000, 500)
+    ids = np.asarray(jax.jit(draw)(jax.random.PRNGKey(1)))
+    p = np.bincount(ids, minlength=500) / 50000
+    assert ids.min() >= 0 and ids.max() < 500
+    assert np.abs(p - 1.0 / 500).max() < 0.002
+
+
 def test_synthetic_scene_consistency():
     """Wall hits land on the wall sphere; two cameras see consistent geometry."""
     rng = np.random.default_rng(0)

@@ -96,3 +96,26 @@ def test_eval_render_sharded_matches():
     out1 = r_single.render_rays(params, rays)
     out8 = r_mesh.render_rays(params, rays)
     np.testing.assert_allclose(out1["rgb"], out8["rgb"], atol=1e-5)
+
+
+def test_device_raygen_sharded_matches():
+    """Device-side eval ray generation under a mesh (the pose+direction
+    path evaluation() prefers) must equal the single-device render — the
+    chunk axis is sharded over the mesh (renderer.set_directions)."""
+    model, params, rays, _ = setup()
+    from egonerf_tpu.render.renderer import Renderer
+
+    dirs = rays[:, 3:6]
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = rays[0, :3]
+
+    r_single = Renderer(model, chunk=32, n_coarse=16, n_fine=16)
+    r_single.set_directions(dirs)
+    out1 = r_single.render_view(params, c2w)
+
+    mesh = make_mesh(8)
+    r_mesh = Renderer(model, chunk=32, mesh=mesh, n_coarse=16, n_fine=16)
+    r_mesh.set_directions(dirs)
+    out8 = r_mesh.render_view(params, c2w)
+    np.testing.assert_allclose(out1["rgb"], out8["rgb"], atol=1e-5)
+    np.testing.assert_allclose(out1["depth"], out8["depth"], atol=1e-4)
