@@ -55,7 +55,8 @@ def ref_modules():
     return RefCoords, RefEgoNeRF
 
 
-def build_pair(ref_modules, n_voxel=16**3, seed=0):
+def build_pair(ref_modules, n_voxel=16**3, seed=0, use_envmap=False,
+               envmap_res_h=16):
     import jax
 
     from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
@@ -70,7 +71,8 @@ def build_pair(ref_modules, n_voxel=16**3, seed=0):
                                     interval_th=True)
     cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
                       shading_mode="MLP_Fea", view_pe=2, fea_pe=2, feature_c=32,
-                      density_shift=-8.0)
+                      density_shift=-8.0, use_envmap=use_envmap,
+                      envmap_res_h=envmap_res_h)
     ours = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
     params = ours.init_params(jax.random.PRNGKey(seed))
 
@@ -83,6 +85,7 @@ def build_pair(ref_modules, n_voxel=16**3, seed=0):
         near_far=near_far, shadingMode="MLP_Fea", density_shift=-8,
         distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
         fea2denseAct="softplus", coarse_sigma_grid_update_rule="conv",
+        use_envmap=use_envmap, envmap_res_H=envmap_res_h,
     )
 
     _copy_params(ref, params)
@@ -118,6 +121,10 @@ def _copy_params(ref, params):
         for layer, key in zip(layers, ("l1", "l2", "l3")):
             layer.weight.copy_(to_t(np.asarray(sh[key]["w"]).T))
             layer.bias.copy_(to_t(np.asarray(sh[key]["b"])))
+        if "envmap" in params:
+            # ours (2h, h, 3) channel-last == reference (3, 2h, h)
+            ref.envmap.emission.copy_(
+                to_t(np.asarray(params["envmap"]).transpose(2, 0, 1)))
         ref.update_coarse_sigma_grid()
 
 
@@ -148,6 +155,29 @@ def test_forward_matches_reference(ref_modules):
     np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
     np.testing.assert_allclose(np.asarray(out["depth"]), r_depth.numpy(),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_envmap_full_forward_matches_reference(ref_modules):
+    """The envmap-enabled composite: rgb += bg_weight * envmap(viewdir)
+    (reference: models/EgoNeRF.py:586-591) plus the env/bg outputs."""
+    import jax.numpy as jnp
+
+    ours, params, ref = build_pair(ref_modules, seed=17, use_envmap=True)
+    rays = rays_fixture(48, seed=18)
+
+    with torch.no_grad():
+        r_rgb, _, r_bg, r_env, _ = ref(
+            torch.tensor(rays), is_train=False, ndc_ray=False, n_coarse=24,
+            n_fine=24, exp_sampling=True, resampling=True,
+            use_coarse_sample=True, interval_th=True)
+
+    out = ours.forward(params, jnp.asarray(rays), key=None, is_train=False,
+                       n_coarse=24, n_fine=24, exp_sampling=True,
+                       resampling=True, use_coarse_sample=True)
+
+    np.testing.assert_allclose(np.asarray(out["env"]), r_env.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["bg"]), r_bg.numpy(), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
 
 
 def test_coords_match_reference(ref_modules):
