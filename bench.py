@@ -40,6 +40,8 @@ WARMUP_ITERS = 96
 STEPS_PER_CALL = 8
 CALLS_PER_SEG = 5
 N_SEGMENTS = 4
+if os.environ.get("BENCH_QUICK"):  # ablation mode: faster, slightly noisier
+    WARMUP_ITERS, CALLS_PER_SEG, N_SEGMENTS = 32, 3, 2
 
 
 def main():

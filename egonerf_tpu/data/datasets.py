@@ -310,7 +310,8 @@ class SyntheticEgoDataset(EgoNeRFDataset):
     """Procedural analytic scene (see .synthetic) — self-contained smoke /
     benchmark dataset needing no files on disk."""
 
-    def __init__(self, n_train=8, n_test=2, height=100, width=200, wall_radius=8.0, **kwargs):
+    def __init__(self, n_train=8, n_test=2, height=100, width=200, wall_radius=8.0,
+                 background="wall", **kwargs):
         kwargs.setdefault("data_dir", "<synthetic>")
         kwargs.setdefault("near_far", (0.05, float(wall_radius) * 1.05))
         super().__init__(**kwargs)
@@ -326,7 +327,8 @@ class SyntheticEgoDataset(EgoNeRFDataset):
 
         dirs = _dirs360(height, width)
         self.directions = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-        rays, rgbs, depths = render_views(self.poses, height, width, wall_radius)
+        rays, rgbs, depths = render_views(self.poses, height, width, wall_radius,
+                                          background)
         self._finalize(list(rays), list(rgbs))
         # analytic ground-truth depth supports --use_depth supervision
         self.all_depths = (np.stack(depths).astype(np.float32) if self.is_stack

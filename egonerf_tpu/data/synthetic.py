@@ -37,8 +37,18 @@ def _wall_color(p: np.ndarray) -> np.ndarray:
     return np.stack([c0, c1, c2], axis=-1).astype(np.float32)
 
 
-def trace_rays(rays_o: np.ndarray, rays_d: np.ndarray, wall_radius: float = 8.0):
-    """Closed-form ray cast. Returns (rgb (N,3), depth (N,))."""
+def trace_rays(rays_o: np.ndarray, rays_d: np.ndarray, wall_radius: float = 8.0,
+               background: str = "wall"):
+    """Closed-form ray cast. Returns (rgb (N,3), depth (N,)).
+
+    ``background='wall'`` closes the scene with a textured sphere of radius
+    ``wall_radius`` (everything is in-volume — the default).
+    ``background='env'`` puts the same texture at infinity instead: rays
+    that miss every solid sphere see a direction-only color with depth 0
+    (= "no depth supervision" sentinel), which is exactly the environment-
+    map factorization the use_envmap model family learns (reference
+    composite: models/EgoNeRF.py:586-591).
+    """
     n = rays_o.shape[0]
     best_t = np.full(n, np.inf, np.float32)
     rgb = np.zeros((n, 3), np.float32)
@@ -57,6 +67,13 @@ def trace_rays(rays_o: np.ndarray, rays_d: np.ndarray, wall_radius: float = 8.0)
         shade = 0.6 + 0.4 * np.clip(normal[..., 1], -1, 1)
         rgb[valid] = col[None] * shade[valid, None]
         best_t[valid] = t[valid]
+
+    if background == "env":
+        # texture at infinity: direction-only color, depth-0 sentinel
+        miss = ~np.isfinite(best_t)
+        rgb[miss] = _wall_color(rays_d[miss])
+        best_t[miss] = 0.0
+        return rgb, best_t
 
     # wall sphere centered at origin
     b = np.sum(rays_o * rays_d, -1)
@@ -80,7 +97,8 @@ def make_poses(n: int, radius: float = 0.35) -> np.ndarray:
     return np.stack(poses)
 
 
-def render_views(poses: np.ndarray, h: int, w: int, wall_radius: float = 8.0):
+def render_views(poses: np.ndarray, h: int, w: int, wall_radius: float = 8.0,
+                 background: str = "wall"):
     """Render (n, h*w, 6) rays, (n, h*w, 3) colors and (n, h*w) ground-truth
     depths for each pose."""
     dirs = get_ray_directions_360(h, w)
@@ -88,7 +106,7 @@ def render_views(poses: np.ndarray, h: int, w: int, wall_radius: float = 8.0):
     all_rays, all_rgbs, all_depths = [], [], []
     for c2w in poses:
         rays_o, rays_d = get_rays(dirs, c2w)
-        rgb, depth = trace_rays(rays_o, rays_d, wall_radius)
+        rgb, depth = trace_rays(rays_o, rays_d, wall_radius, background)
         all_rays.append(np.concatenate([rays_o, rays_d], -1))
         all_rgbs.append(rgb)
         all_depths.append(depth)

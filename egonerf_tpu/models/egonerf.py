@@ -34,6 +34,7 @@ from ..coords.yinyang import YinYangSphericalCoords
 from ..ops.pdf import sample_pdf
 from ..ops.vm_lookup import (
     sample_line_packed,
+    sample_line_packed_fastgrad,
     sample_plane_packed,
     sample_plane_packed_fastgrad,
 )
@@ -186,8 +187,9 @@ class EgoNeRF:
         flat = norm_coords.reshape(-1, norm_coords.shape[-1])
         xyz = flat[..., :3]
         sel = flat[..., 3].astype(jnp.int32)
-        plane_fn = (sample_plane_packed_fastgrad
-                    if self.cfg.compute_dtype == "bfloat16" else sample_plane_packed)
+        fast = self.cfg.compute_dtype == "bfloat16"
+        plane_fn = sample_plane_packed_fastgrad if fast else sample_plane_packed
+        line_fn = sample_line_packed_fastgrad if fast else sample_line_packed
         prods = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
@@ -196,7 +198,7 @@ class EgoNeRF:
             line = jnp.concatenate(
                 [params["density_lines"][i], params["app_lines"][i]], axis=-1)
             p = plane_fn(plane, xyz[..., m0], xyz[..., m1], sel)
-            l = sample_line_packed(line, xyz[..., VEC_MODE[i]], sel)
+            l = line_fn(line, xyz[..., VEC_MODE[i]], sel)
             prods.append(p * l)
         return prods, sel, lead_shape
 

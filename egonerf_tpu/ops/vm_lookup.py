@@ -29,6 +29,45 @@ import jax.numpy as jnp
 
 _SCATTER_CHUNK = 128  # f32 columns per scatter op (512 B rows)
 
+# Small tables (the VM *lines*: <=1040 stacked rows at the 300^3-equivalent
+# production grid) escape the per-index gather/scatter cost entirely via a
+# one-hot matmul on the MXU: rows_out = onehot(N, R) @ packed(R, 2C).  The
+# one-hot is exactly representable in bf16, so the forward is BIT-IDENTICAL
+# to the gather (the matmul copies one bf16 row per sample with f32
+# accumulation), and the backward contracts cotangents with a single f32-
+# accumulating matmul instead of 1M scattered adds.  Measured at production
+# shape on v5e (tools/microbench_lookup.py, N=1.05M):
+#   line bwd: 11.4-11.7 ms (f32 chunked scatter) -> 2.4-3.4 ms
+#   line fwd:  4.2 ms (packed gather)            -> 2.7-3.6 ms
+# The matmul cost scales with R; the gather is flat.  Crossover from the
+# same measurements: fwd wins below ~1.2k rows, bwd below ~4k.  The env
+# overrides exist for in-situ ablation (isolated-op wins can interact with
+# scheduling/HBM pressure inside the full fused train step).
+#
+# In-situ ablation inside the full fused production train step
+# (BENCH_QUICK=1 bench.py, v5e, 4.1k rays/step, step p50 ms / rays/s):
+#   round-1 formulation          251.2 / 16,508
+#   + onehot line fwd only       239.5 / 17,259
+#   + onehot line bwd only       220.7 / 18,773
+#   + sorted plane scatter only  327.2 / 12,619   <- REJECTED (see below)
+# The two one-hot paths compose and are ON by default.  The sorted bf16
+# plane scatter (argsort by destination + indices_are_sorted) wins in
+# isolation (22.6 -> 16.4 ms/plane in the microbench) but REGRESSES the
+# full step by +76 ms: the 3x 1.05M-element argsorts serialize against
+# the step's other work and evict the packed tables from CMEM/VMEM,
+# where the unsorted scatter overlaps.  Kept behind EGONERF_PLANE_SORTED=1
+# for re-evaluation on future hardware; default OFF.
+import os as _os
+
+_ONEHOT_FWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_FWD_MAX_ROWS", 1152))
+_ONEHOT_BWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_BWD_MAX_ROWS", 4096))
+_PLANE_SORTED_SCATTER = _os.environ.get("EGONERF_PLANE_SORTED", "0") == "1"
+
+
+def _onehot(idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    return (idx[:, None] == jnp.arange(n_rows, dtype=idx.dtype)[None, :]
+            ).astype(jnp.bfloat16)
+
 
 def _shift_x(p):
     """p[..., y, x, c] -> p[..., y, min(x+1, W-1), c] (edge clamp)."""
@@ -117,7 +156,16 @@ def line_idx_weights(coord, sel, l: int):
 
 def _gather_combine(packed, idx, weights, n_corners: int, out_dtype):
     n = idx.shape[0]
-    rows = jnp.take(packed, idx, axis=0).astype(out_dtype)
+    n_rows = packed.shape[0]
+    if (n_rows <= _ONEHOT_FWD_MAX_ROWS and packed.dtype == jnp.bfloat16
+            and out_dtype == jnp.float32):
+        # small table: fetch rows with a one-hot matmul (bit-identical to
+        # the gather — see the cost-model note at the top of this file)
+        rows = jax.lax.dot_general(_onehot(idx, n_rows), packed,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    else:
+        rows = jnp.take(packed, idx, axis=0).astype(out_dtype)
     rows = rows.reshape(n, n_corners, -1)
     return jnp.einsum("nk,nkc->nc", weights.astype(out_dtype), rows)
 
@@ -173,7 +221,12 @@ sample_plane_packed.defvjp(_plane_fwd, _plane_bwd)
 def sample_plane_packed_fastgrad(plane, x, y, sel):
     """Same forward as :func:`sample_plane_packed`, but the backward
     scatters cotangents in ONE bf16 512-byte op per plane instead of two
-    f32 chunks (~1.6x faster backward).  bf16 scatter-add rounds each
+    f32 chunks (~1.6x faster backward).  A sorted-destination variant
+    (argsort + ``indices_are_sorted``, payload permute fused into the
+    corner multiply) wins in the isolated microbench (22.6 -> 16.4
+    ms/plane) but regresses the full fused step by +76 ms — see the
+    ablation table at the top of this file; it stays opt-in via
+    EGONERF_PLANE_SORTED=1.  bf16 scatter-add rounds each
     accumulation, so cells hit by very many samples (the near-field radial
     cells) lose gradient precision — opt-in via compute_dtype='bfloat16'."""
     out, _ = _plane_fwd(plane, x, y, sel)
@@ -182,9 +235,19 @@ def sample_plane_packed_fastgrad(plane, x, y, sel):
 
 def _plane_bwd_bf16(res, dout):
     idx, weights, (s, h, w, c) = res
-    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
+    if not _PLANE_SORTED_SCATTER:
+        corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)
+                  ).reshape(idx.shape[0], 4 * c).astype(jnp.bfloat16)
+        gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[idx].add(corner)
+        g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
+        return (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
+                + _unshift_x(_unshift_y(g[..., 3, :]))), None, None, None
+    order = jnp.argsort(idx)
+    corner = (weights[order][:, :, None]
+              * dout[order][:, None, :].astype(jnp.float32)).reshape(
         idx.shape[0], 4 * c).astype(jnp.bfloat16)
-    gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[idx].add(corner)
+    gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[
+        jnp.take(idx, order)].add(corner, indices_are_sorted=True)
     g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
     dplane = (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
               + _unshift_x(_unshift_y(g[..., 3, :])))
@@ -223,6 +286,36 @@ def _line_bwd(res, dout):
 
 
 sample_line_packed.defvjp(_line_fwd, _line_bwd)
+
+
+@jax.custom_vjp
+def sample_line_packed_fastgrad(line, coord, sel):
+    """Same forward as :func:`sample_line_packed` (bit-identical — both
+    read the same bf16 packed rows), but the backward contracts the bf16
+    corner cotangents against the one-hot matrix on the MXU with f32
+    accumulation: one rounding per cotangent element instead of one per
+    scatter-add, and 11.7 -> 2.4 ms per line at production shape on v5e
+    (tools/microbench_lookup.py).  Falls back to the f32 chunked scatter
+    for tables too large for the matmul to win."""
+    out, _ = _line_fwd(line, coord, sel)
+    return out
+
+
+def _line_bwd_onehot(res, dout):
+    idx, weights, (s, l, c) = res
+    if s * l > _ONEHOT_BWD_MAX_ROWS:
+        return _line_bwd(res, dout)
+    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
+        idx.shape[0], 2 * c).astype(jnp.bfloat16)
+    gpacked = jax.lax.dot_general(_onehot(idx, s * l), corner,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    g = gpacked.reshape(s, l, 2, c)
+    dline = g[:, :, 0, :] + _unshift_l(g[:, :, 1, :])
+    return dline, None, None
+
+
+sample_line_packed_fastgrad.defvjp(_line_fwd, _line_bwd_onehot)
 
 
 # ---------------------------------------------------------------------------

@@ -345,6 +345,9 @@ class Trainer:
             draw_ids = make_device_id_sampler(self.sampler, cfg.batch_size,
                                               n_total)
 
+            batch_sh = (NamedSharding(self.mesh, P(DATA_AXIS, None))
+                        if self.multi_device else None)
+
             def multi_step(params, opt_state, key, step0, train_buf):
                 keys = jax.random.split(key, n_steps + 1)
                 its = step0 + jnp.arange(n_steps, dtype=jnp.int32)
@@ -355,6 +358,13 @@ class Trainer:
                     k_ids, k_step = jax.random.split(k)
                     ids = draw_ids(k_ids)
                     row = jnp.take(train_buf, ids, axis=0)
+                    if batch_sh is not None:
+                        # the key/ids are replicated — without this
+                        # constraint XLA runs the whole batch on every chip;
+                        # sharding the gathered rows splits the step over
+                        # the mesh (one gradient psum back to the
+                        # replicated params)
+                        row = jax.lax.with_sharding_constraint(row, batch_sh)
                     p, s, mse = one_step(p, s, row, k_step, it)
                     return (p, s), mse
 

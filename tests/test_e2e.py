@@ -95,6 +95,30 @@ def test_multidevice_step_matches_shapes(trained):
     assert trainer.multi_device
 
 
+def test_trainer_sharded_losses_match_single_device(tmp_path):
+    """The REAL trainer step on the 8-way mesh must reproduce the
+    single-device loss sequence (same seed, same in-step id draws from the
+    replicated key) — guards _make_step's sharded device-sampling branch,
+    not just the raw step function (which test_parallel.py covers)."""
+    import json
+
+    def run(mesh_n, name):
+        cfg = tiny_cfg(tmp_path, expname=name, n_iters=16,
+                       progress_refresh_rate=2, mesh_shape=[mesh_n])
+        t = Trainer(cfg)
+        assert t.multi_device == (mesh_n > 1)
+        t.train()
+        with open(os.path.join(t.logdir, "metrics.jsonl")) as f:
+            return [json.loads(l)["value"] for l in f
+                    if json.loads(l)["tag"] == "train/mse"]
+
+    mses1 = run(1, "mesh1")
+    mses8 = run(8, "mesh8")
+    assert len(mses1) == len(mses8) >= 4
+    # identical batches/schedules — only the psum reduction order differs
+    np.testing.assert_allclose(mses1, mses8, rtol=5e-4)
+
+
 def test_evaluation_produces_images(trained):
     trainer, tmp = trained
     from egonerf_tpu.render.renderer import evaluation

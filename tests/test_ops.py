@@ -176,3 +176,75 @@ def test_ray_entropy_uniform_is_max():
     flat = jnp.full((4, 16), 0.25)
     peaked = jnp.asarray(np.eye(16, dtype=np.float32)[None, 0] * np.ones((4, 1), np.float32))
     assert float(ray_entropy(flat)) > float(ray_entropy(peaked))
+
+
+# ---------------------------------------------------------------------------
+# packed-lookup fast paths (ops/vm_lookup.py): the one-hot matmul line
+# formulation and the sorted bf16 plane scatter must agree with the
+# reference gather/scatter formulations
+# ---------------------------------------------------------------------------
+def _packed_line_case(l=37, c=8, n=600, seed=5):
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(seed)
+    line = jnp.asarray(rng.normal(size=(2, l, c)).astype(np.float32))
+    coord = jnp.asarray(rng.uniform(-1.2, 1.2, n).astype(np.float32))
+    sel = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    dout = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    return vl, line, coord, sel, dout
+
+
+def test_line_onehot_forward_bit_identical_to_gather(monkeypatch):
+    """Small tables take the one-hot matmul fetch; it must be BIT-identical
+    to the per-index gather (the one-hot picks whole bf16 rows)."""
+    vl, line, coord, sel, _ = _packed_line_case()
+    out_mm = np.asarray(vl.sample_line_packed(line, coord, sel))
+    monkeypatch.setattr(vl, "_ONEHOT_FWD_MAX_ROWS", 0)  # force the gather
+    out_gather = np.asarray(vl.sample_line_packed(line, coord, sel))
+    np.testing.assert_array_equal(out_mm, out_gather)
+
+
+def test_line_fastgrad_backward_matches_f32_scatter():
+    """One-hot matmul backward (bf16 cotangents, f32 MXU accumulation) vs
+    the exact f32 chunked scatter: bounded by one bf16 rounding of each
+    corner cotangent."""
+    vl, line, coord, sel, dout = _packed_line_case()
+
+    def loss(fn, l):
+        return jnp.vdot(fn(l, coord, sel), dout)
+
+    g_exact = np.asarray(jax.grad(lambda l: loss(vl.sample_line_packed, l))(line))
+    g_fast = np.asarray(jax.grad(
+        lambda l: loss(vl.sample_line_packed_fastgrad, l))(line))
+    scale = np.abs(g_exact).max()
+    np.testing.assert_allclose(g_fast, g_exact, atol=1.2e-2 * scale)
+    # forwards are the same function
+    a = vl.sample_line_packed(line, coord, sel)
+    b = vl.sample_line_packed_fastgrad(line, coord, sel)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("sorted_scatter", [False, True])
+def test_plane_bf16_backward_matches_f32_scatter(monkeypatch, sorted_scatter):
+    """Both bf16 plane-scatter formulations (unsorted default; opt-in
+    sorted-destination with the payload permute fused into the corner
+    multiply) vs the exact f32 path."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    monkeypatch.setattr(vl, "_PLANE_SORTED_SCATTER", sorted_scatter)
+    rng = np.random.default_rng(6)
+    h, w, c, n = 19, 23, 8, 800
+    plane = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1.1, 1.1, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1.1, 1.1, n).astype(np.float32))
+    sel = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    dout = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+
+    def loss(fn, p):
+        return jnp.vdot(fn(p, x, y, sel), dout)
+
+    g_exact = np.asarray(jax.grad(lambda p: loss(vl.sample_plane_packed, p))(plane))
+    g_fast = np.asarray(jax.grad(
+        lambda p: loss(vl.sample_plane_packed_fastgrad, p))(plane))
+    scale = np.abs(g_exact).max()
+    np.testing.assert_allclose(g_fast, g_exact, atol=1.5e-2 * scale)

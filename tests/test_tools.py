@@ -64,3 +64,34 @@ def test_colmap_to_transforms(tmp_path):
     assert cams[1]["model"] == "PINHOLE"
     imgs = read_images_text(str(tmp_path / "images.txt"))
     assert [im["name"] for im in imgs] == [f"img_{i}.png" for i in range(3)]
+
+
+def test_experiment_tools_import_and_configs_build():
+    """The TPU experiment drivers (sampler A/B, envmap e2e, microbench,
+    head-to-head) must import and build valid configs without a device."""
+    from egonerf_tpu.tools import envmap_e2e, microbench_lookup, sampler_ab
+
+    cfg = sampler_ab.make_config("t", "theta_importance", True)
+    assert cfg.sampling_method == "theta_importance" and cfg.device_sampling
+    assert cfg.N_voxel_init == 27_000_000
+    assert len(sampler_ab.VARIANTS) == 3
+    assert envmap_e2e.PRETRAIN > 0
+    assert microbench_lookup.PLANE_SHAPES and microbench_lookup.LINE_SHAPES
+
+
+def test_synthetic_env_background_mode():
+    """'env' background: rays missing all spheres get direction-only color
+    and the depth-0 no-supervision sentinel."""
+    import numpy as np
+
+    from egonerf_tpu.data.synthetic import _wall_color, make_poses, render_views
+
+    poses = make_poses(2)
+    rays, rgbs, depths = render_views(poses, 20, 40, background="env")
+    assert (depths == 0).any() and (depths > 0).any()
+    miss = depths[0] == 0
+    want = _wall_color(rays[0, miss, 3:6])
+    np.testing.assert_allclose(rgbs[0, miss], want, atol=1e-6)
+    # wall mode is unchanged: every ray terminates at finite depth
+    _, _, d_wall = render_views(poses, 20, 40, background="wall")
+    assert (d_wall > 0).all() and np.isfinite(d_wall).all()
