@@ -95,13 +95,20 @@ def normalize_r_lookup(r, grid) -> jnp.ndarray:
     """
     grid = jnp.asarray(grid)
     n_r = grid.shape[0] - 1
-    # compare_all: the grid is tiny (N_r+1 entries), so a broadcast-compare
-    # sum is ~10x faster on TPU than the default scan-lowered binary search
-    hi = jnp.clip(
-        jnp.searchsorted(grid, r, side="right", method="compare_all"), 1, n_r)
-    lo = hi - 1
-    g_lo = grid[lo]
-    g_hi = grid[hi]
+    # Gather-free bracketing: the grid is tiny (n_r+1 entries) and strictly
+    # increasing, so the bracketing cell is a broadcast compare + masked
+    # min/max REDUCTION — no per-sample grid[lo]/grid[hi] gathers, which at
+    # ~12-18 ns/index dominated this function on the 1M-sample production
+    # step (tools/profile_step.py).  Equivalent to
+    # hi = clip(searchsorted(grid, r, side='right'), 1, n_r); lo = hi-1.
+    cmp = grid <= r[..., None]                      # (..., n_r+1)
+    lo = jnp.clip(jnp.sum(cmp, axis=-1) - 1, 0, n_r - 1)
+    # restrict the lo-candidates to index <= n_r-1 so the upper clip holds
+    # (grid[0] = 0 <= r always, so the masked max is never empty)
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
+    g_lo = jnp.max(jnp.where(cmp[..., :-1], grid[:-1], neg), axis=-1)
+    g_hi = jnp.min(jnp.where(grid > g_lo[..., None], grid, pos), axis=-1)
     t = (r - g_lo) / (g_hi - g_lo)
     return (lo.astype(r.dtype) + t) / n_r
 

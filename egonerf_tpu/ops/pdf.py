@@ -37,16 +37,30 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(key, (n, n_samples), dtype=cdf.dtype)
 
     cdf = jax.lax.stop_gradient(cdf)
-    inds = jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="compare_all")
-    )(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather-free bracketing.  cdf is strictly increasing (weights floored
+    # at 1e-5) and bins is strictly increasing per ray, so the bin edges
+    # around each u are masked min/max REDUCTIONS over the bin axis instead
+    # of searchsorted + 4 take_along_axis gathers — TPU gathers cost
+    # ~12-18 ns *per index* (BASELINE.md cost model) and the four 524k-index
+    # gathers dominated this function (~27 ms/step of the production
+    # trace, tools/profile_step.py); the reductions fuse into one
+    # broadcast-compare pass on the VPU.  Equivalent to
+    # inds = searchsorted(cdf, u, side='right'); below = inds-1;
+    # above = min(inds, B-1)  (inds >= 1 always since cdf[0] = 0 <= u).
+    cmp = cdf[..., None, :] <= u[..., :, None]  # (N, n_samples, B)
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
+    cdf_b = cdf[..., None, :]
+    bins_b = bins[..., None, :]
+    cdf_lo = jnp.max(jnp.where(cmp, cdf_b, neg), axis=-1)
+    bins_lo = jnp.max(jnp.where(cmp, bins_b, neg), axis=-1)
+    cdf_hi = jnp.min(jnp.where(cmp, pos, cdf_b), axis=-1)
+    bins_hi = jnp.min(jnp.where(cmp, pos, bins_b), axis=-1)
+    # u >= cdf[-1] (can happen when rounding leaves cdf[-1] < 1): the
+    # 'above' bracket clamps to the last edge
+    cdf_hi = jnp.where(jnp.isfinite(cdf_hi), cdf_hi, cdf_lo)
+    bins_hi = jnp.where(jnp.isfinite(bins_hi), bins_hi, bins_lo)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < 1e-5, 1.0, denom)

@@ -1,0 +1,98 @@
+"""Capture + summarize a device-op time breakdown of the production train
+step (the evidence tool behind step-cost tables in BASELINE.md).
+
+Runs the real trainer at the reference headline shape with
+``cfg.profile_dir`` set (the trainer traces 24 steady-state iterations,
+train/trainer.py:550-558), then parses the XSpace protobuf the jax
+profiler wrote and aggregates per-op device time over one fused chunk.
+
+Run on the TPU:  python -m egonerf_tpu.tools.profile_step
+Prints a table of top ops by total device-time share.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from collections import defaultdict
+
+PROFILE_DIR = "/tmp/egonerf_profile"
+N_ITERS = 64
+
+
+def capture():
+    from ..data.datasets import SyntheticEgoDataset
+    from ..train.config import load_config
+    from ..train.trainer import Trainer
+
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
+        exp_sampling=True, interval_th=True, r0="0.03", resampling=True,
+        use_coarse_sample=True, n_coarse=128, n_fine=128, batch_size=4096,
+        n_iters=N_ITERS, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
+        n_lamb_sigma="[16,16,16]", n_lamb_sh="[48,48,48]", data_dim_color=27,
+        shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
+        view_pe=2, fea_pe=2, featureC=128, lr_init=0.02, sparsity_lambda=0,
+        near_far="[0.01, 15.0]", progress_refresh_rate=16,
+        basedir="/tmp/egonerf_profile_run", expname="profile", N_vis=0,
+        i_weights=10**9, seed=0, profile_dir=PROFILE_DIR,
+    ))
+    trainer = Trainer(cfg)
+    common = dict(n_train=4, n_test=1, height=500, width=1000,
+                  near_far=cfg.near_far)
+    trainer.set_datasets(
+        SyntheticEgoDataset(split="train", is_stack=False, **common),
+        SyntheticEgoDataset(split="test", is_stack=True, **common))
+    trainer.train()
+
+
+def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
+    """Aggregate device-plane op durations from the newest xplane dump."""
+    try:  # proto location moved across TF releases; gate cleanly
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(
+        profile_dir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
+    if not paths:
+        print(f"no xplane dumps under {profile_dir}", file=sys.stderr)
+        return None
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    rows = []
+    for plane in space.planes:
+        is_device = ("TPU" in plane.name or "/device" in plane.name.lower()
+                     ) and "host" not in plane.name.lower()
+        if not is_device:
+            continue
+        metadata = {m.id: m.name for m in plane.event_metadata.values()}
+        per_op = defaultdict(float)
+        n_events = 0
+        for line in plane.lines:
+            for ev in line.events:
+                name = metadata.get(ev.metadata_id, str(ev.metadata_id))
+                per_op[name] += ev.duration_ps / 1e9  # -> ms
+                n_events += 1
+        if not per_op:
+            continue
+        total = sum(per_op.values())
+        print(f"\n=== plane: {plane.name} ({n_events} events, "
+              f"{total:.1f} ms total across trace) ===")
+        print(f"{'op':70s} {'ms':>10s} {'share':>7s}")
+        for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{name[:70]:70s} {ms:10.2f} {100 * ms / total:6.1f}%")
+        rows.append((plane.name, per_op, total))
+    return rows
+
+
+def main():
+    if "--summarize-only" not in sys.argv:
+        capture()
+    summarize()
+
+
+if __name__ == "__main__":
+    main()

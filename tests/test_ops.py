@@ -152,6 +152,68 @@ def test_sample_pdf_train_mode_in_support():
     assert samples.min() >= 2.0 - 1e-5 and samples.max() <= 5.0 + 1e-5
 
 
+def test_sample_pdf_masked_reduction_matches_searchsorted_gather():
+    """The gather-free monotone bracketing (masked min/max reductions) must
+    be BIT-identical to the searchsorted + take_along_axis formulation it
+    replaced (the per-index gathers cost ~27 ms/step on TPU)."""
+    def reference_formulation(bins, weights, n_samples, key):
+        weights = weights + 1e-5
+        pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+        n = cdf.shape[0]
+        if key is None:
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype), (n, n_samples))
+        else:
+            u = jax.random.uniform(key, (n, n_samples), dtype=cdf.dtype)
+        inds = jax.vmap(lambda c, uu: jnp.searchsorted(
+            c, uu, side="right", method="compare_all"))(cdf, u)
+        below = jnp.maximum(inds - 1, 0)
+        above = jnp.minimum(inds, cdf.shape[-1] - 1)
+        cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+        bins_lo = jnp.take_along_axis(bins, below, axis=-1)
+        bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+        denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+        t = (u - cdf_lo) / denom
+        return bins_lo + t * (bins_hi - bins_lo)
+
+    rng = np.random.default_rng(11)
+    n_rays, n_bins = 32, 129
+    bins = jnp.asarray(np.sort(
+        rng.uniform(0.1, 10, (n_rays, n_bins)), axis=-1).astype(np.float32))
+    # half the bins empty: exercises the 1e-5 floor + near-flat cdf runs
+    w = jnp.asarray((rng.uniform(0, 1, (n_rays, n_bins - 1))
+                     * (rng.uniform(size=(n_rays, n_bins - 1)) > 0.5)
+                     ).astype(np.float32))
+    for key in (None, jax.random.PRNGKey(3)):
+        got = np.asarray(sample_pdf(bins, w, 64, key=key))
+        want = np.asarray(reference_formulation(bins, w, 64, key=key))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_r_lookup_masked_reduction_matches_gather():
+    """Same guarantee for the radial-grid lerp: masked-reduction bracketing
+    bit-identical to clip(searchsorted) + grid[lo]/grid[hi], including
+    r=0, exact grid nodes, and r beyond the far edge."""
+    from egonerf_tpu.coords.expgrid import make_reference_r_grid, normalize_r_lookup
+
+    grid = make_reference_r_grid(0.03, 15.0, 150)
+    n_r = len(grid) - 1
+    rng = np.random.default_rng(12)
+    r = jnp.asarray(np.concatenate([
+        rng.uniform(0, 16, 20000), [0.0], grid[:4], [grid[-1]],
+        [grid[-1] + 1.0], [25.0]]).astype(np.float32))
+
+    gj = jnp.asarray(grid)
+    hi = jnp.clip(jnp.searchsorted(gj, r, side="right", method="compare_all"), 1, n_r)
+    lo = hi - 1
+    t = (r - gj[lo]) / (gj[hi] - gj[lo])
+    want = np.asarray((lo.astype(r.dtype) + t) / n_r)
+    np.testing.assert_array_equal(np.asarray(normalize_r_lookup(r, grid)), want)
+
+
 def test_positional_encoding_layout():
     """(D, F) flattening then [sin | cos] blocks (reference: models/tensorBase.py:14-19)."""
     pos = jnp.asarray([[0.5, -1.0]])
