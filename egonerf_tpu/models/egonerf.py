@@ -33,17 +33,34 @@ from ..coords.expgrid import make_sample_r_grid
 from ..coords.yinyang import YinYangSphericalCoords
 from ..ops.pdf import sample_pdf
 from ..ops.vm_lookup import (
+    sample_line_hat,
     sample_line_packed,
     sample_line_packed_fastgrad,
     sample_plane_packed,
     sample_plane_packed_fastgrad,
 )
+from ..ops.mm import mixed_matmul
 from ..ops.volrend import raw2alpha
 from .envmap import envmap_radiance, init_envmap
 from .shading import make_shader
 
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
 VEC_MODE = (2, 1, 0)
+
+# in-situ ablation toggles (see ops/vm_lookup.py for the protocol),
+# active only under compute_dtype=bfloat16.  Measured (BENCH_QUICK
+# ablation, v5e, step p50 ms / rays/s):
+#   base                 157.6 / 26,376
+#   + mixed_mm only      161.8 / 25,676  <- REJECTED: casting the shader
+#     MLP + basis matmuls to bf16 LOSES 4 ms — the matmuls are small
+#     enough that the bf16 casts break XLA's elementwise fusions for no
+#     MXU win (and cost gradient-direction parity, test_reference_parity)
+#   + line_hat only      151.4 / 27,490  <- ON: line lookup as ONE
+#     hat-weight MXU matmul (weights folded into the matrix)
+import os as _os
+
+_MIXED_MM = _os.environ.get("EGONERF_MIXED_MM", "0") == "1"
+_LINE_HAT = _os.environ.get("EGONERF_LINE_HAT", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,8 +130,11 @@ class EgoNeRF:
         self.coordinates = coordinates
         self.cfg = cfg
         self.near_far = (float(near_far[0]), float(near_far[1]))
+        self._mm = (mixed_matmul if _MIXED_MM
+                    and cfg.compute_dtype == "bfloat16" else None)
         self.shader = make_shader(cfg.shading_mode, cfg.app_dim, cfg.pos_pe,
-                                  cfg.view_pe, cfg.fea_pe, cfg.feature_c)
+                                  cfg.view_pe, cfg.fea_pe, cfg.feature_c,
+                                  matmul=self._mm)
         self.alpha_mask = None
         self._sample_grid_cache: dict = {}
         self.update_step_size(grid_size)
@@ -189,7 +209,8 @@ class EgoNeRF:
         sel = flat[..., 3].astype(jnp.int32)
         fast = self.cfg.compute_dtype == "bfloat16"
         plane_fn = sample_plane_packed_fastgrad if fast else sample_plane_packed
-        line_fn = sample_line_packed_fastgrad if fast else sample_line_packed
+        line_fn = ((sample_line_hat if _LINE_HAT else sample_line_packed_fastgrad)
+                   if fast else sample_line_packed)
         prods = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
@@ -212,8 +233,9 @@ class EgoNeRF:
             dfeat = dfeat + jnp.maximum(jnp.sum(pr[:, : n_d[i]], axis=-1), 0.0)
             app_parts.append(pr[:, n_d[i] :])
         feats = jnp.concatenate(app_parts, axis=-1)
-        yin = feats @ params["basis"][0]
-        yang = feats @ params["basis"][1]
+        mm = self._mm or (lambda a, b: a @ b)
+        yin = mm(feats, params["basis"][0])
+        yang = mm(feats, params["basis"][1])
         app = jnp.where(sel[..., None] == 0, yin, yang)
         return dfeat.reshape(lead), app.reshape(*lead, -1)
 

@@ -28,10 +28,11 @@ def _linear_init(key, n_in: int, n_out: int, with_bias=True, zero_bias=False):
     return {"w": w, "b": b}
 
 
-def _mlp3_apply(params, x):
-    h = jnp.maximum(x @ params["l1"]["w"] + params["l1"]["b"], 0.0)
-    h = jnp.maximum(h @ params["l2"]["w"] + params["l2"]["b"], 0.0)
-    return h @ params["l3"]["w"] + params["l3"]["b"]
+def _mlp3_apply(params, x, mm=None):
+    mm = mm or (lambda a, b: a @ b)
+    h = jnp.maximum(mm(x, params["l1"]["w"]) + params["l1"]["b"], 0.0)
+    h = jnp.maximum(mm(h, params["l2"]["w"]) + params["l2"]["b"], 0.0)
+    return mm(h, params["l3"]["w"]) + params["l3"]["b"]
 
 
 def _mlp3_init(key, n_in, hidden):
@@ -51,9 +52,13 @@ class Shader(NamedTuple):
 
 
 def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
-                fea_pe: int = 6, feature_c: int = 128) -> Shader:
+                fea_pe: int = 6, feature_c: int = 128,
+                matmul=None) -> Shader:
     """Factory matching the reference registry
-    (reference: models/tensorBase.py:188-204)."""
+    (reference: models/tensorBase.py:188-204).  ``matmul`` optionally
+    replaces the plain f32 ``@`` in the MLP layers (e.g.
+    :func:`egonerf_tpu.ops.mm.mixed_matmul` for bf16-in/f32-accumulate
+    on the MXU)."""
     if mode == "MLP_Fea":
         n_in = 2 * view_pe * 3 + 2 * fea_pe * app_dim + 3 + app_dim
 
@@ -66,7 +71,7 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
                 parts.append(positional_encoding(features, fea_pe))
             if view_pe > 0:
                 parts.append(positional_encoding(viewdirs, view_pe))
-            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1), matmul))
 
         return Shader(init, apply, mode)
 
@@ -86,7 +91,7 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
                 parts.append(positional_encoding(pts[..., :3], pos_pe))
             if view_pe > 0:
                 parts.append(positional_encoding(viewdirs, view_pe))
-            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1), matmul))
 
         return Shader(init, apply, mode)
 
@@ -100,7 +105,7 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
             parts = [features, viewdirs]
             if view_pe > 0:
                 parts.append(positional_encoding(viewdirs, view_pe))
-            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1)))
+            return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1), matmul))
 
         return Shader(init, apply, mode)
 

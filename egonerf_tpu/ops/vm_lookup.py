@@ -119,38 +119,45 @@ def pack_line(line: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _axis_cells(coord, size):
-    """[-1,1] coord -> (cell0, frac, valid0, valid1) with align_corners=True
-    zeros-padding semantics (cell0 clamped into [0, size-1])."""
+    """[-1,1] coord -> (clamped cell0, weight0, weight1) with
+    align_corners=True zeros-padding semantics.
+
+    The weights are tied to the CLAMPED pair (cell0, cell0+1): for
+    coords one cell below the grid (p in (-1, 0), cell0 floor = -1 but
+    the fetch clamps to 0) the surviving corner is grid point 0, which
+    sits at pair position 0 — its weight t lands on weight0, not
+    weight1.  (This matches F.grid_sample's zeros padding; the unshifted
+    formulation silently read grid point 1 there.)  In-range arithmetic
+    is bit-identical to the plain (1-t, t) weights."""
     p = (coord + 1.0) * 0.5 * (size - 1)
     i0f = jnp.floor(p)
     t = p - i0f
     i0 = i0f.astype(jnp.int32)
     v0 = (i0 >= 0) & (i0 <= size - 1)
     v1 = (i0 + 1 >= 0) & (i0 + 1 <= size - 1)
-    return jnp.clip(i0, 0, size - 1), t, v0, v1
+    w0 = jnp.where(i0 == -1, t, (1.0 - t) * v0)
+    w1 = t * (v1 & (i0 >= 0))
+    return jnp.clip(i0, 0, size - 1), w0, w1
 
 
 def plane_idx_weights(x, y, sel, h: int, w: int):
     """Packed row index (N,) + 4 corner weights (N, 4) in order
-    (y0x0, y0x1, y1x0, y1x1)."""
-    x0, tx, vx0, vx1 = _axis_cells(x, w)
-    y0, ty, vy0, vy1 = _axis_cells(y, h)
+    (y0x0, y0x1, y1x0, y1x1); validity/zeros-padding folded into the
+    per-axis weights by :func:`_axis_cells`."""
+    x0, wx0, wx1 = _axis_cells(x, w)
+    y0, wy0, wy1 = _axis_cells(y, h)
     base = jnp.zeros_like(x0) if sel is None else sel.astype(jnp.int32) * (h * w)
     idx = base + y0 * w + x0
-    weights = jnp.stack([
-        (1.0 - ty) * (1.0 - tx) * (vy0 & vx0),
-        (1.0 - ty) * tx * (vy0 & vx1),
-        ty * (1.0 - tx) * (vy1 & vx0),
-        ty * tx * (vy1 & vx1),
-    ], axis=-1)
+    weights = jnp.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
     return idx, weights
 
 
 def line_idx_weights(coord, sel, l: int):
-    i0, t, v0, v1 = _axis_cells(coord, l)
+    i0, w0, w1 = _axis_cells(coord, l)
     base = jnp.zeros_like(i0) if sel is None else sel.astype(jnp.int32) * l
     idx = base + i0
-    weights = jnp.stack([(1.0 - t) * v0, t * v1], axis=-1)
+    weights = jnp.stack([w0, w1], axis=-1)
     return idx, weights
 
 
@@ -316,6 +323,67 @@ def _line_bwd_onehot(res, dout):
 
 
 sample_line_packed_fastgrad.defvjp(_line_fwd, _line_bwd_onehot)
+
+
+def _hat_matrix(line_shape, coord, sel):
+    """(N, S*L) bf16 hat matrix: tent-function interpolation weights over
+    the stacked row axis, masked per chart.  ``hat @ table_flat`` IS the
+    linear line sample: the tent at p reproduces _axis_cells' clamped
+    weights exactly (including the zeros-padding cutoff for |coord| > 1),
+    and the chart mask stops the tent of a boundary cell leaking into the
+    other chart's adjacent stacked row."""
+    s, l, c = line_shape
+    p = (coord + 1.0) * 0.5 * (l - 1)
+    js = jnp.arange(s * l, dtype=jnp.float32)
+    chart_ok = (js[None, :] // l).astype(jnp.int32) == sel[:, None]
+    pos = p + sel.astype(p.dtype) * l
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - js[None, :]))
+    return jnp.where(chart_ok, tent, 0.0).astype(jnp.bfloat16)
+
+
+@jax.custom_vjp
+def sample_line_hat(line, coord, sel):
+    """Line sample as ONE hat-weight matmul on the MXU: the interpolation
+    weights are folded into the (N, S*L) matrix itself, so forward skips
+    the one-hot fetch + einsum (2.7 -> 1.5 ms per line at production
+    shape, tools/microbench_lookup.py) and backward is the exact
+    transpose ``hat^T @ dout``.  The hat entries are bf16-rounded —
+    outputs differ from :func:`sample_line_packed` by ~one bf16 ulp of
+    the weights — so this path is gated on ``compute_dtype=bfloat16``
+    (quality A/B in BASELINE.md).  Falls back to the packed formulations
+    for tables beyond the matmul crossover."""
+    s, l, c = line.shape
+    if s * l > _ONEHOT_FWD_MAX_ROWS:
+        return sample_line_packed_fastgrad(line, coord, sel)
+    out, _ = _hat_fwd(line, coord, sel)
+    return out
+
+
+def _hat_fwd(line, coord, sel):
+    s, l, c = line.shape
+    if s * l > _ONEHOT_FWD_MAX_ROWS:
+        out, _ = _line_fwd(line, coord, sel)
+        return out, (coord, sel, line.shape)
+    hat = _hat_matrix(line.shape, coord, sel)
+    flat = line.reshape(s * l, c).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(hat, flat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out, (coord, sel, line.shape)
+
+
+def _hat_bwd(res, dout):
+    coord, sel, (s, l, c) = res
+    if s * l > _ONEHOT_BWD_MAX_ROWS:
+        idx, weights = line_idx_weights(coord, sel, l)
+        return _line_bwd((idx, weights, (s, l, c)), dout)
+    hat = _hat_matrix((s, l, c), coord, sel)
+    dflat = jax.lax.dot_general(hat, dout.astype(jnp.bfloat16),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return dflat.reshape(s, l, c), None, None
+
+
+sample_line_hat.defvjp(_hat_fwd, _hat_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -152,6 +152,102 @@ def test_sample_pdf_train_mode_in_support():
     assert samples.min() >= 2.0 - 1e-5 and samples.max() <= 5.0 + 1e-5
 
 
+def test_packed_lookup_matches_grid_sample_out_of_range_band():
+    """The packed lookups must equal F.grid_sample(align_corners=True,
+    padding_mode='zeros') EXACTLY — including coords one cell below -1
+    (p in (-1, 0)), where the clamped pair fetch must put the surviving
+    corner's weight on pair position 0.  Regression for a weight-shift
+    bug in that band (found via the hat-matrix formulation)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(7)
+    n, c = 4000, 8
+    sel = jnp.zeros((n,), jnp.int32)
+
+    l = 37
+    line_np = rng.normal(size=(1, l, c)).astype(np.float32)
+    coord_np = np.concatenate([rng.uniform(-1.3, 1.3, n - 6),
+        [-1.0, 1.0, -1.02, 1.02, -0.999, 0.0]]).astype(np.float32)
+    out = np.asarray(vl._gather_combine(
+        vl.pack_line(jnp.asarray(line_np), jnp.float32),
+        *vl.line_idx_weights(jnp.asarray(coord_np), sel, l), 2, jnp.float32))
+    tline = torch.from_numpy(line_np[0].T[None, :, :, None].copy())
+    grid = torch.zeros((1, n, 1, 2))
+    grid[0, :, 0, 1] = torch.from_numpy(coord_np)
+    want = F.grid_sample(tline, grid, mode="bilinear", align_corners=True,
+                         padding_mode="zeros")[0, :, :, 0].T.numpy()
+    np.testing.assert_array_equal(out, want)
+
+    h, w = 19, 23
+    plane_np = rng.normal(size=(1, h, w, c)).astype(np.float32)
+    x_np = np.concatenate([rng.uniform(-1.3, 1.3, n - 2), [-1.01, 0.3]]).astype(np.float32)
+    y_np = np.concatenate([rng.uniform(-1.3, 1.3, n - 2), [0.2, -1.02]]).astype(np.float32)
+    pout = np.asarray(vl._gather_combine(
+        vl.pack_plane(jnp.asarray(plane_np), jnp.float32),
+        *vl.plane_idx_weights(jnp.asarray(x_np), jnp.asarray(y_np), sel, h, w),
+        4, jnp.float32))
+    tplane = torch.from_numpy(plane_np.transpose(0, 3, 1, 2).copy())
+    grid2 = torch.zeros((1, n, 1, 2))
+    grid2[0, :, 0, 0] = torch.from_numpy(x_np)
+    grid2[0, :, 0, 1] = torch.from_numpy(y_np)
+    want2 = F.grid_sample(tplane, grid2, mode="bilinear", align_corners=True,
+                          padding_mode="zeros")[0, :, :, 0].T.numpy()
+    np.testing.assert_array_equal(pout, want2)
+
+
+def test_line_hat_matches_packed_within_bf16_weights():
+    """The hat-matrix line path (interpolation weights folded into a bf16
+    MXU matmul) vs the packed gather path: bounded by one bf16 rounding
+    of the tent weights, forward and backward, incl. out-of-range coords
+    and both charts."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(8)
+    l, c, n = 37, 8, 2000
+    line = jnp.asarray(rng.normal(size=(2, l, c)).astype(np.float32))
+    coord = jnp.asarray(np.concatenate([
+        rng.uniform(-1.3, 1.3, n - 4), [-1.0, 1.0, -1.05, 0.0]]).astype(np.float32))
+    sel = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    dout = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+
+    ref = np.asarray(vl.sample_line_packed(line, coord, sel))
+    hat = np.asarray(vl.sample_line_hat(line, coord, sel))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(hat, ref, atol=1.5e-2 * scale)
+
+    g_ref = np.asarray(jax.grad(
+        lambda L: jnp.vdot(vl.sample_line_packed(L, coord, sel), dout))(line))
+    g_hat = np.asarray(jax.grad(
+        lambda L: jnp.vdot(vl.sample_line_hat(L, coord, sel), dout))(line))
+    np.testing.assert_allclose(g_hat, g_ref, atol=2e-2 * np.abs(g_ref).max())
+
+
+def test_mixed_matmul_matches_f32():
+    """bf16-in/f32-accumulate matmul and its custom VJP vs plain f32 @ —
+    bounded by one bf16 rounding per operand element."""
+    from egonerf_tpu.ops.mm import mixed_matmul
+
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(mixed_matmul(a, b)), np.asarray(a @ b),
+                               atol=2e-2 * float(jnp.abs(a @ b).max()))
+    ga, gb = jax.grad(lambda a, b: jnp.vdot(mixed_matmul(a, b), d),
+                      argnums=(0, 1))(a, b)
+    ga_r, gb_r = jax.grad(lambda a, b: jnp.vdot(a @ b, d), argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_r),
+                               atol=2e-2 * float(jnp.abs(ga_r).max()))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r),
+                               atol=2e-2 * float(jnp.abs(gb_r).max()))
+    # batched leading dims (the shader feeds (..., K))
+    a3 = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    assert mixed_matmul(a3, b).shape == (4, 8, 16)
+    assert jax.grad(lambda x: jnp.sum(mixed_matmul(x, b)))(a3).shape == a3.shape
+
+
 def test_sample_pdf_masked_reduction_matches_searchsorted_gather():
     """The gather-free monotone bracketing (masked min/max reductions) must
     be BIT-identical to the searchsorted + take_along_axis formulation it
