@@ -62,6 +62,8 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
+    import re
+
     rows = []
     for plane in space.planes:
         is_device = ("TPU" in plane.name or "/device" in plane.name.lower()
@@ -78,13 +80,25 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
                 n_events += 1
         if not per_op:
             continue
-        total = sum(per_op.values())
+        # drop wrapper/aggregate rows (jit entry, while loop, bare lane ids)
+        # that nest the real ops and would double-count, then group HLO ops
+        # by their output-signature so the hundreds of small per-step
+        # fusions aggregate into readable clusters
+        per_sig = defaultdict(float)
+        for name, ms in per_op.items():
+            if name.startswith("jit_") or name.isdigit() or "while" in name[:20]:
+                continue
+            m = re.match(r"%?([a-z_\-]+)[.\d]* = (\(?\w+\[[\d,]*\])", name)
+            sig = f"{m.group(1)} -> {m.group(2)}" if m else name[:60]
+            per_sig[sig] += ms
+        total = sum(per_sig.values())
+        n_steps = 24  # the trainer hook traces 24 steady-state iterations
         print(f"\n=== plane: {plane.name} ({n_events} events, "
-              f"{total:.1f} ms total across trace) ===")
-        print(f"{'op':70s} {'ms':>10s} {'share':>7s}")
-        for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"{name[:70]:70s} {ms:10.2f} {100 * ms / total:6.1f}%")
-        rows.append((plane.name, per_op, total))
+              f"{total:.1f} ms real-op total across {n_steps} steps) ===")
+        print(f"{'op signature':72s} {'ms/step':>8s} {'share':>7s}")
+        for sig, ms in sorted(per_sig.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{sig[:72]:72s} {ms / n_steps:8.2f} {100 * ms / total:6.1f}%")
+        rows.append((plane.name, per_sig, total))
     return rows
 
 
