@@ -62,6 +62,12 @@ import os as _os
 _ONEHOT_FWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_FWD_MAX_ROWS", 1152))
 _ONEHOT_BWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_BWD_MAX_ROWS", 4096))
 _PLANE_SORTED_SCATTER = _os.environ.get("EGONERF_PLANE_SORTED", "0") == "1"
+# Corner-combine formulation: the reshape->einsum forces a 9.6 ms/step
+# layout copy of the 512 MB gathered-row buffer (profile trace), but the
+# "fix" — K static slice-multiply-adds on the native layout — re-reads
+# that buffer K times and measured 182.5 ms/step vs einsum's 151.7
+# (in-situ, BENCH_QUICK).  einsum+copy stays; toggle kept for re-checks.
+_COMBINE_SLICED = _os.environ.get("EGONERF_COMBINE_SLICED", "0") == "1"
 
 
 def _onehot(idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
@@ -173,6 +179,16 @@ def _gather_combine(packed, idx, weights, n_corners: int, out_dtype):
                                    preferred_element_type=jnp.float32)
     else:
         rows = jnp.take(packed, idx, axis=0).astype(out_dtype)
+    if _COMBINE_SLICED:
+        # combine corners as K static slice-multiply-adds on the gather's
+        # native (N, K*C) layout — the reshape->einsum formulation forces a
+        # 9.6 ms/step layout copy of the 512 MB row buffer (profile trace)
+        c = rows.shape[-1] // n_corners
+        w = weights.astype(out_dtype)
+        out = w[:, 0:1] * rows[:, :c]
+        for k in range(1, n_corners):
+            out = out + w[:, k : k + 1] * rows[:, k * c : (k + 1) * c]
+        return out
     rows = rows.reshape(n, n_corners, -1)
     return jnp.einsum("nk,nkc->nc", weights.astype(out_dtype), rows)
 
