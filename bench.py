@@ -63,21 +63,15 @@ def main():
         print(json.dumps(result))
         return
 
+    from egonerf_tpu.presets import production_overrides
     from egonerf_tpu.train.config import load_config
     from egonerf_tpu.train.trainer import Trainer
 
-    cfg = load_config(overrides=dict(
-        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
-        exp_sampling=True, interval_th=True, r0="0.03", resampling=True,
-        use_coarse_sample=True, n_coarse=128, n_fine=128, batch_size=4096,
-        n_iters=WARMUP_ITERS, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
-        n_lamb_sigma="[16,16,16]", n_lamb_sh="[48,48,48]", data_dim_color=27,
-        shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
-        view_pe=2, fea_pe=2, featureC=128, lr_init=0.02, sparsity_lambda=0,
-        near_far="[0.01, 15.0]", progress_refresh_rate=10**9,
+    cfg = load_config(overrides=production_overrides(
+        n_iters=WARMUP_ITERS, progress_refresh_rate=10**9,
         basedir="/tmp/egonerf_bench", expname="bench", N_vis=0,
-        vis_list="[1000000000]", i_weights=10**9, steps_per_call=STEPS_PER_CALL,
-        compute_dtype=COMPUTE_DTYPE, seed=0,
+        vis_list="[1000000000]", steps_per_call=STEPS_PER_CALL,
+        compute_dtype=COMPUTE_DTYPE,
     ))
 
     log = io.StringIO()
@@ -122,7 +116,11 @@ def main():
         vs_baseline=round(value / BASELINE_RAYS_PER_SEC, 3),
         segments_rays_per_sec=[round(r, 1) for r in seg_rates],
         step_ms_p50=round(step_ms[len(step_ms) // 2], 1),
-        step_ms_p95=round(step_ms[-1], 1),
+        # true 95th-percentile index; with few samples this is near-max,
+        # so the sample max is reported separately and honestly
+        step_ms_p95=round(step_ms[min(int(0.95 * (len(step_ms) - 1) + 0.5),
+                                      len(step_ms) - 1)], 1),
+        step_ms_max=round(step_ms[-1], 1),
         load_avg_start=round(load0, 2),
         load_avg_end=round(os.getloadavg()[0], 2),
     )

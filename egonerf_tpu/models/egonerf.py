@@ -33,6 +33,7 @@ from ..coords.expgrid import make_sample_r_grid
 from ..coords.yinyang import YinYangSphericalCoords
 from ..ops.pdf import sample_pdf
 from ..ops.vm_lookup import (
+    LINE_HAT as _vm_lookup_line_hat,
     sample_line_hat,
     sample_line_packed,
     sample_line_packed_fastgrad,
@@ -60,7 +61,7 @@ VEC_MODE = (2, 1, 0)
 import os as _os
 
 _MIXED_MM = _os.environ.get("EGONERF_MIXED_MM", "0") == "1"
-_LINE_HAT = _os.environ.get("EGONERF_LINE_HAT", "1") == "1"
+_LINE_HAT = _vm_lookup_line_hat  # shared flag, see ops/vm_lookup.py
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.vm_lookup import sample_line_packed, sample_plane_packed
+from ..ops.vm_lookup import (
+    LINE_HAT as _LINE_HAT,
+    sample_line_hat,
+    sample_line_packed,
+    sample_plane_packed,
+    sample_plane_packed_fastgrad,
+)
 from ..ops.volrend import raw2alpha
 from .alphamask import AlphaGridMask, bake_alpha_mask
 from .egonerf import MAT_MODE, VEC_MODE, FieldConfig, feature2density
@@ -307,6 +313,11 @@ class TensorVMSplit(TensorBase):
         n_d = self.cfg.density_n_comp
         lead = norm_coords.shape[:-1]
         flat = norm_coords.reshape(-1, norm_coords.shape[-1])[:, :3]
+        # same bf16 fast-path selection as EgoNeRF._fused_products (the
+        # lookups are the hot kernels for this family too)
+        fast = self.cfg.compute_dtype == "bfloat16"
+        plane_fn = sample_plane_packed_fastgrad if fast else sample_plane_packed
+        line_fn = (sample_line_hat if fast and _LINE_HAT else sample_line_packed)
         dfeat = 0.0
         app_parts = []
         for i in range(3):
@@ -315,8 +326,8 @@ class TensorVMSplit(TensorBase):
                 [params["density_planes"][i], params["app_planes"][i]], axis=-1)
             line = jnp.concatenate(
                 [params["density_lines"][i], params["app_lines"][i]], axis=-1)
-            p = sample_plane_packed(plane, flat[:, m0], flat[:, m1], None)
-            l = sample_line_packed(line, flat[:, VEC_MODE[i]], None)
+            p = plane_fn(plane, flat[:, m0], flat[:, m1], None)
+            l = line_fn(line, flat[:, VEC_MODE[i]], None)
             prod = p * l
             dfeat = dfeat + jnp.maximum(jnp.sum(prod[:, : n_d[i]], axis=-1), 0.0)
             app_parts.append(prod[:, n_d[i] :])
@@ -429,13 +440,16 @@ class TensorCP(TensorBase):
         return params
 
     def _line_products(self, lines, flat, pad_to=32):
+        line_fn = (sample_line_hat
+                   if self.cfg.compute_dtype == "bfloat16" and _LINE_HAT
+                   else sample_line_packed)
         prod = None
         for i in range(3):
             line = lines[i]
             pad = max(0, pad_to - line.shape[-1])
             if pad:
                 line = jnp.pad(line, ((0, 0), (0, 0), (0, pad)))
-            l = sample_line_packed(line, flat[:, VEC_MODE[i]], None)
+            l = line_fn(line, flat[:, VEC_MODE[i]], None)
             prod = l if prod is None else prod * l
         return prod
 

@@ -6,9 +6,14 @@ bf16 for the forward AND both cotangent contractions of the backward (one
 bf16 rounding per operand/cotangent element, every dot product still
 accumulates in f32) — the standard mixed-precision recipe.  Plain
 ``a @ b`` on f32 inputs is what the reference's fp32 nn.Linear layers do
-(reference: models/tensorBase.py:30-129); this is the TPU-native
-equivalent, enabled by ``compute_dtype=bfloat16`` alongside the bf16
-gradient scatters (quality A/B in BASELINE.md).
+(reference: models/tensorBase.py:30-129).
+
+STATUS: measured in-situ and REJECTED as a default — on the production
+step the shader/basis matmuls are small enough that the bf16 casts break
+XLA's elementwise fusions for a net −4 ms/step (ablation table in
+models/egonerf.py) and cost gradient-direction parity.  Kept as an
+opt-in ablation toggle (``EGONERF_MIXED_MM=1``, default off); worth
+re-measuring if the MLP ever grows.
 """
 from __future__ import annotations
 

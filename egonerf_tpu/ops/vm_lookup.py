@@ -68,6 +68,14 @@ _PLANE_SORTED_SCATTER = _os.environ.get("EGONERF_PLANE_SORTED", "0") == "1"
 # that buffer K times and measured 182.5 ms/step vs einsum's 151.7
 # (in-situ, BENCH_QUICK).  einsum+copy stays; toggle kept for re-checks.
 _COMBINE_SLICED = _os.environ.get("EGONERF_COMBINE_SLICED", "0") == "1"
+# hat-matrix line lookup (sample_line_hat) under compute_dtype=bfloat16 —
+# shared by EgoNeRF and the TensoRF family so a single toggle ablates the
+# formulation everywhere (151.4 vs 157.6 ms/step in-situ; ON by default)
+LINE_HAT = _os.environ.get("EGONERF_LINE_HAT", "1") == "1"
+# (R, K, C)-shaped gather to skip the einsum layout copy: measured 195.6
+# ms/step vs 151.7 — the 3-D operand falls off the 512-byte-row fast
+# gather path entirely; copy + flat gather wins.  Kept for re-checks.
+_GATHER_3D = _os.environ.get("EGONERF_GATHER_3D", "0") == "1"
 
 
 def _onehot(idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
@@ -177,6 +185,13 @@ def _gather_combine(packed, idx, weights, n_corners: int, out_dtype):
         rows = jax.lax.dot_general(_onehot(idx, n_rows), packed,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+    elif _GATHER_3D:
+        # gather from the (R, K, C)-shaped view so the result is born in
+        # the (n, K, C) layout the corner einsum wants — probing whether
+        # XLA then skips the 9.6 ms/step row-buffer layout copy
+        packed3 = packed.reshape(packed.shape[0], n_corners, -1)
+        rows = jnp.take(packed3, idx, axis=0).astype(out_dtype)
+        return jnp.einsum("nk,nkc->nc", weights.astype(out_dtype), rows)
     else:
         rows = jnp.take(packed, idx, axis=0).astype(out_dtype)
     if _COMBINE_SLICED:
@@ -351,6 +366,9 @@ def _hat_matrix(line_shape, coord, sel):
     s, l, c = line_shape
     p = (coord + 1.0) * 0.5 * (l - 1)
     js = jnp.arange(s * l, dtype=jnp.float32)
+    if sel is None:  # single-chart table (the TensoRF family)
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, None] - js[None, :]))
+        return tent.astype(jnp.bfloat16)
     chart_ok = (js[None, :] // l).astype(jnp.int32) == sel[:, None]
     pos = p + sel.astype(p.dtype) * l
     tent = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - js[None, :]))

@@ -1,0 +1,99 @@
+"""Reproducible quality runs for docs/results.
+
+Two presets:
+
+* ``refscale`` — EgoNeRF at the reference's full production shape
+  (2000x1000 equirect views, N_voxel = 27e6 yin-yang grid, 128+128
+  samples, batch 4096, 10k iters; mirrors
+  reference configs/EgoNeRF/common.txt + omniblender/common_indoor.txt)
+  on the built-in procedural scene.
+* ``tensorf`` — the TensorVMSplit baseline family end to end (xyz chart,
+  linear sampling, the reference's LLFF-style recipe scaled to the
+  synthetic scene) so the second model family has a quality record too.
+
+Run on the TPU:  python -m egonerf_tpu.tools.quality_run [refscale|tensorf]
+Writes docs/results_<preset>.json and eval artifacts under /tmp.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _run(preset: str) -> dict:
+    import numpy as np
+
+    from ..data.datasets import SyntheticEgoDataset
+    from ..train.config import load_config
+    from ..train.trainer import Trainer
+
+    from ..presets import production_overrides
+
+    common = dict(
+        progress_refresh_rate=500, basedir="/tmp/egonerf_quality",
+        expname=preset, render_test=True,
+    )
+    if preset == "refscale":
+        cfg = load_config(overrides=production_overrides(
+            n_iters=10_000,
+            # near_far matched to the synthetic wall at radius 8 — sampling
+            # out to 15 wastes half the radial samples beyond the scene and
+            # costs ~2 dB at this shape (measured 44.1 vs 46.0)
+            near_far="[0.05, 8.5]",
+            N_vis=-1, vis_list="[10000]", **common))
+        ds = dict(n_train=12, n_test=2, height=1000, width=2000)
+    elif preset == "tensorf":
+        cfg = load_config(overrides=production_overrides(
+            model_name="TensorVMSplit", coordinates_name="xyz",
+            exp_sampling=False, interval_th=False, resampling=False,
+            use_coarse_sample=False, n_coarse=256, n_iters=6_000,
+            N_voxel_init=2_097_152, N_voxel_final=16_777_216,
+            upsamp_list="[1000,2000,3000]",
+            near_far="[0.05, 8.5]",
+            L1_weight_initial=8e-5, L1_weight_rest=4e-5,
+            TV_weight_density=0.0, TV_weight_app=0.0,
+            N_vis=-1, vis_list="[6000]", **common))
+        ds = dict(n_train=12, n_test=2, height=500, width=1000)
+    else:
+        raise SystemExit(f"unknown preset {preset!r} (refscale|tensorf)")
+
+    # fresh-run semantics: the trainer auto-resumes from any checkpoint in
+    # the experiment folder (a feature for real runs, wrong for a quality
+    # measurement — a stale checkpoint from a different preset config
+    # would be silently evaluated)
+    import shutil
+
+    shutil.rmtree(os.path.join(cfg.basedir, cfg.expname), ignore_errors=True)
+    trainer = Trainer(cfg)
+    dsc = dict(near_far=cfg.near_far, **ds)
+    trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **dsc),
+                         SyntheticEgoDataset(split="test", is_stack=True, **dsc))
+    t0 = time.time()
+    psnrs = trainer.train()
+    wall = time.time() - t0
+    with open(os.path.join(trainer.logdir, "imgs_test_all", "mean.json")) as f:
+        metrics = json.load(f)
+    return {
+        "preset": preset, "model": cfg.model_name,
+        "n_iters": cfg.n_iters, "n_voxel_final": cfg.N_voxel_final,
+        "views": f"{ds['n_train']}+{ds['n_test']} @ {ds['width']}x{ds['height']}",
+        "metrics": metrics,
+        "final_test_psnr": round(float(np.mean(psnrs)), 3),
+        "wall_s": round(wall, 1), "artifacts": trainer.logdir,
+    }
+
+
+def main():
+    preset = sys.argv[1] if len(sys.argv) > 1 else "refscale"
+    rec = _run(preset)
+    print(json.dumps(rec, indent=1), flush=True)
+    out = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                       "docs", f"results_{preset}.json"))
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,21 +34,14 @@ N_TRAIN, N_TEST = 12, 2
 
 
 def make_config(name: str, method: str, device_sampling: bool):
+    from ..presets import production_overrides
     from ..train.config import load_config
 
-    return load_config(overrides=dict(
-        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
-        exp_sampling=True, interval_th=True, r0="0.03", resampling=True,
-        use_coarse_sample=True, n_coarse=128, n_fine=128, batch_size=4096,
-        n_iters=N_ITERS, N_voxel_init=27_000_000, N_voxel_final=27_000_000,
-        n_lamb_sigma="[16,16,16]", n_lamb_sh="[48,48,48]", data_dim_color=27,
-        shadingMode="MLP_Fea", fea2denseAct="softplus", density_shift="-8",
-        view_pe=2, fea_pe=2, featureC=128, lr_init=0.02, sparsity_lambda=0,
-        near_far="[0.01, 15.0]", progress_refresh_rate=500,
+    return load_config(overrides=production_overrides(
+        n_iters=N_ITERS, progress_refresh_rate=500,
         basedir="/tmp/egonerf_sampler_ab", expname=name, N_vis=-1,
         vis_list=str(list(range(VIS_EVERY, N_ITERS + 1, VIS_EVERY))),
-        i_weights=10**9, sampling_method=method,
-        device_sampling=device_sampling, seed=0,
+        sampling_method=method, device_sampling=device_sampling,
     ))
 
 

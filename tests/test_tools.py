@@ -78,6 +78,15 @@ def test_experiment_tools_import_and_configs_build():
     assert envmap_e2e.PRETRAIN > 0
     assert microbench_lookup.PLANE_SHAPES and microbench_lookup.LINE_SHAPES
 
+    from egonerf_tpu.tools import f32_ab, profile_step, quality_run
+
+    assert callable(f32_ab.main) and callable(profile_step.summarize)
+    assert callable(quality_run.main)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        quality_run._run("nope")
+
 
 def test_synthetic_env_background_mode():
     """'env' background: rays missing all spheres get direction-only color
