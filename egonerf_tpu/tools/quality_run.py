@@ -38,9 +38,9 @@ def _run(preset: str) -> dict:
     if preset == "refscale":
         cfg = load_config(overrides=production_overrides(
             n_iters=10_000,
-            # near_far matched to the synthetic wall at radius 8 — sampling
-            # out to 15 wastes half the radial samples beyond the scene and
-            # costs ~2 dB at this shape (measured 44.1 vs 46.0)
+            # near_far matched to the synthetic wall at radius 8 (measured
+            # +0.07 dB vs sampling out to 15 — minor, but the matched range
+            # is the honest configuration)
             near_far="[0.05, 8.5]",
             N_vis=-1, vis_list="[10000]", **common))
         ds = dict(n_train=12, n_test=2, height=1000, width=2000)
