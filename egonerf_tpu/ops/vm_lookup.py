@@ -385,10 +385,7 @@ def sample_line_hat(line, coord, sel):
     outputs differ from :func:`sample_line_packed` by ~one bf16 ulp of
     the weights — so this path is gated on ``compute_dtype=bfloat16``
     (quality A/B in BASELINE.md).  Falls back to the packed formulations
-    for tables beyond the matmul crossover."""
-    s, l, c = line.shape
-    if s * l > _ONEHOT_FWD_MAX_ROWS:
-        return sample_line_packed_fastgrad(line, coord, sel)
+    for tables beyond the matmul crossover (see _hat_fwd/_hat_bwd)."""
     out, _ = _hat_fwd(line, coord, sel)
     return out
 

@@ -67,10 +67,9 @@ def main():
         "wall_s": round(wall, 1),
         "artifacts": trainer.logdir,
     }
-    path = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
-                                        "docs", "results_envmap_e2e.json"))
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    from . import write_results
+
+    write_results("envmap_e2e", out)
     print(json.dumps(out, indent=1))
 
 

@@ -13,29 +13,17 @@ Writes docs/results_f32_ab.json.
 from __future__ import annotations
 
 import json
-import os
 
 from . import sampler_ab
 
 
 def main():
-    orig = sampler_ab.make_config
-
-    def patched(name, method, device_sampling):
-        cfg = orig(name, method, device_sampling)
-        cfg.compute_dtype = "float32"
-        return cfg
-
-    sampler_ab.make_config = patched
-    try:
-        rec = sampler_ab.run_variant("device_uniform_f32", "simple", True)
-    finally:
-        sampler_ab.make_config = orig
+    rec = sampler_ab.run_variant("device_uniform_f32", "simple", True,
+                                 compute_dtype="float32")
     print(json.dumps(rec), flush=True)
-    out = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
-                                       "docs", "results_f32_ab.json"))
-    with open(out, "w") as f:
-        json.dump(rec, f, indent=1)
+    from . import write_results
+
+    write_results("f32_ab", rec)
 
 
 if __name__ == "__main__":

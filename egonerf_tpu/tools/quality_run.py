@@ -89,10 +89,9 @@ def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "refscale"
     rec = _run(preset)
     print(json.dumps(rec, indent=1), flush=True)
-    out = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
-                                       "docs", f"results_{preset}.json"))
-    with open(out, "w") as f:
-        json.dump(rec, f, indent=1)
+    from . import write_results
+
+    write_results(preset, rec)
 
 
 if __name__ == "__main__":

@@ -18,8 +18,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 VARIANTS = [
     # (name, sampling_method, device_sampling)
     ("device_uniform_with_replacement", "simple", True),
@@ -33,7 +31,9 @@ IMG_H, IMG_W = 500, 1000
 N_TRAIN, N_TEST = 12, 2
 
 
-def make_config(name: str, method: str, device_sampling: bool):
+def make_config(name: str, method: str, device_sampling: bool, **extra):
+    """``extra`` lets variant drivers (e.g. tools/f32_ab) override single
+    fields without monkeypatching."""
     from ..presets import production_overrides
     from ..train.config import load_config
 
@@ -41,15 +41,15 @@ def make_config(name: str, method: str, device_sampling: bool):
         n_iters=N_ITERS, progress_refresh_rate=500,
         basedir="/tmp/egonerf_sampler_ab", expname=name, N_vis=-1,
         vis_list=str(list(range(VIS_EVERY, N_ITERS + 1, VIS_EVERY))),
-        sampling_method=method, device_sampling=device_sampling,
+        sampling_method=method, device_sampling=device_sampling, **extra,
     ))
 
 
-def run_variant(name: str, method: str, device_sampling: bool) -> dict:
+def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
     from ..data.datasets import SyntheticEgoDataset
     from ..train.trainer import Trainer
 
-    cfg = make_config(name, method, device_sampling)
+    cfg = make_config(name, method, device_sampling, **extra)
     trainer = Trainer(cfg)
     common = dict(n_train=N_TRAIN, n_test=N_TEST, height=IMG_H, width=IMG_W,
                   near_far=cfg.near_far)
@@ -86,10 +86,9 @@ def main():
         results["runs"].append(run_variant(name, method, dev_samp))
         print(json.dumps(results["runs"][-1]), flush=True)
 
-    out = os.path.join(os.path.dirname(__file__), "..", "..", "docs",
-                       "results_sampler_ab.json")
-    with open(os.path.abspath(out), "w") as f:
-        json.dump(results, f, indent=1)
+    from . import write_results
+
+    write_results("sampler_ab", results)
 
     iters = sorted({it for r in results["runs"] for it in r["psnr_by_iter"]})
     print("\n| iteration | " + " | ".join(r["variant"] for r in results["runs"]) + " |")
