@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..coords.expgrid import make_sample_r_grid
 from ..coords.yinyang import YinYangSphericalCoords
+from ..ops.merge import merge_sorted
 from ..ops.pdf import sample_pdf
 from ..ops.vm_lookup import (
     LINE_HAT as _vm_lookup_line_hat,
@@ -62,6 +63,11 @@ import os as _os
 
 _MIXED_MM = _os.environ.get("EGONERF_MIXED_MM", "0") == "1"
 _LINE_HAT = _vm_lookup_line_hat  # shared flag, see ops/vm_lookup.py
+# sorted pdf draws + bitonic coarse/fine merge instead of full sort
+# (ops/merge.py); clean 4-way grid r3 (BENCH_QUICK, v5e, idle host,
+# p50 ms / rays/s):
+#   sort (off)  151.7 / 27,474      merge (ON)  151.2 / 27,552
+_MERGE_SORT = _os.environ.get("EGONERF_MERGE", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -375,12 +381,18 @@ class EgoNeRF:
 
             # 4) inverse-CDF resampling, merged with the coarse depths
             z_mid = 0.5 * (coarse_z[..., 1:] + coarse_z[..., :-1])
-            fine_z = sample_pdf(z_mid, c_weight[..., 1:-1], n_fine, key=k_pdf)
+            fine_z = sample_pdf(z_mid, c_weight[..., 1:-1], n_fine, key=k_pdf,
+                                sorted_draws=_MERGE_SORT)
             fine_z = jax.lax.stop_gradient(fine_z)
+            # the reference full-sorts the coarse/fine union
+            # (models/EgoNeRF.py:536-539); with sorted pdf draws both
+            # halves are already sorted, so an 8-stage bitonic merge
+            # replaces the ~36-stage sort network (ops/merge.py)
             if use_coarse_sample:
-                z_vals = jnp.sort(jnp.concatenate([coarse_z, fine_z], axis=-1), axis=-1)
+                z_vals = (merge_sorted(coarse_z, fine_z) if _MERGE_SORT else
+                          jnp.sort(jnp.concatenate([coarse_z, fine_z], axis=-1), axis=-1))
             else:
-                z_vals = jnp.sort(fine_z, axis=-1)
+                z_vals = fine_z if _MERGE_SORT else jnp.sort(fine_z, axis=-1)
 
             dists = jnp.diff(z_vals, axis=-1)
             dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)

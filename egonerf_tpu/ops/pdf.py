@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 
 def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
-               key=None) -> jnp.ndarray:
+               key=None, sorted_draws: bool = False) -> jnp.ndarray:
     """Draw ``n_samples`` depths per ray from the piecewise-constant pdf.
 
     Args:
@@ -22,6 +22,11 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
       key: PRNG key for stratified-uniform draws; ``None`` uses the
         deterministic linspace grid (eval mode,
         reference: dataLoader/ray_utils.py:165-167).
+      sorted_draws: draw the uniforms already sorted (order-statistics
+        construction, ops/merge.py) so the returned depths are sorted
+        per ray — same joint law as sorting the reference's iid draws,
+        and it lets the caller merge with the coarse depths via a
+        bitonic merge instead of a full sort.
     Returns:
       (N, n_samples) depths.
     """
@@ -33,6 +38,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     n = cdf.shape[0]
     if key is None:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype), (n, n_samples))
+    elif sorted_draws:
+        from .merge import sorted_uniform
+
+        u = sorted_uniform(key, (n, n_samples)).astype(cdf.dtype)
     else:
         u = jax.random.uniform(key, (n, n_samples), dtype=cdf.dtype)
 

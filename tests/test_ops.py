@@ -406,3 +406,49 @@ def test_plane_bf16_backward_matches_f32_scatter(monkeypatch, sorted_scatter):
         lambda p: loss(vl.sample_plane_packed_fastgrad, p))(plane))
     scale = np.abs(g_exact).max()
     np.testing.assert_allclose(g_fast, g_exact, atol=1.5e-2 * scale)
+
+
+def test_merge_sorted_equals_sort_concat():
+    """Bitonic merge of two per-row sorted arrays == full sort of the
+    union (the reference's torch.sort(torch.cat(...)),
+    models/EgoNeRF.py:536-539), including ties and non-power-of-two."""
+    from egonerf_tpu.ops.merge import merge_sorted
+
+    rng = np.random.default_rng(7)
+    for n, m in [(128, 128), (48, 48), (17, 31), (5, 1), (128, 0)]:
+        a = np.sort(rng.normal(size=(6, n)).astype(np.float32), axis=-1)
+        b = np.sort(rng.integers(0, 4, size=(6, m)).astype(np.float32), axis=-1)
+        want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sorted_uniform_distribution():
+    """Order-statistics draws are sorted, in (0,1), and match the
+    empirical distribution of sort(iid uniforms)."""
+    from egonerf_tpu.ops.merge import sorted_uniform
+
+    u = np.asarray(sorted_uniform(jax.random.PRNGKey(0), (4000, 16)))
+    assert (np.diff(u, axis=-1) >= 0).all()
+    assert (u > 0).all() and (u < 1).all()
+    # E[u_(k)] = k/(n+1) for sorted U(0,1) order statistics
+    want = np.arange(1, 17) / 17.0
+    np.testing.assert_allclose(u.mean(axis=0), want, atol=0.02)
+
+
+def test_sample_pdf_sorted_draws_same_law():
+    """sorted_draws=True yields per-row sorted depths whose empirical cdf
+    matches the unsorted default (same inverse-CDF law)."""
+    rng = np.random.default_rng(8)
+    bins = np.sort(rng.uniform(0, 10, size=(1, 17)).astype(np.float32), axis=-1)
+    bins = np.broadcast_to(bins, (2000, 17))
+    w = np.abs(rng.normal(size=(1, 16)).astype(np.float32))
+    w = np.broadcast_to(w, (2000, 16))
+    plain = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 32,
+                                  key=jax.random.PRNGKey(1)))
+    srt = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 32,
+                                key=jax.random.PRNGKey(2), sorted_draws=True))
+    assert (np.diff(srt, axis=-1) >= 0).all()
+    qs = np.linspace(5, 95, 19)
+    np.testing.assert_allclose(np.percentile(plain, qs), np.percentile(srt, qs),
+                               atol=0.25)
