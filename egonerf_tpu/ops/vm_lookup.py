@@ -61,6 +61,15 @@ import os as _os
 
 _ONEHOT_FWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_FWD_MAX_ROWS", 1152))
 _ONEHOT_BWD_MAX_ROWS = int(_os.environ.get("EGONERF_ONEHOT_BWD_MAX_ROWS", 4096))
+# the one-hot/hat matrix is (N, rows) bf16 and is materialized in HBM —
+# cap its BYTES too, not just the row count: at the production N=1.05M the
+# 1040-row tables cost ~2.2 GB (measured fine), but a 4096-row table still
+# under the row cap would be 8.6 GB and OOM before the row gate trips
+_ONEHOT_MAX_BYTES = float(_os.environ.get("EGONERF_ONEHOT_MAX_BYTES", 3e9))
+
+
+def _onehot_ok(n_rows: int, n_idx: int, cap_rows: int) -> bool:
+    return n_rows <= cap_rows and n_rows * n_idx * 2 <= _ONEHOT_MAX_BYTES
 _PLANE_SORTED_SCATTER = _os.environ.get("EGONERF_PLANE_SORTED", "0") == "1"
 # Corner-combine formulation: the reshape->einsum forces a 9.6 ms/step
 # layout copy of the 512 MB gathered-row buffer (profile trace), but the
@@ -68,6 +77,15 @@ _PLANE_SORTED_SCATTER = _os.environ.get("EGONERF_PLANE_SORTED", "0") == "1"
 # that buffer K times and measured 182.5 ms/step vs einsum's 151.7
 # (in-situ, BENCH_QUICK).  einsum+copy stays; toggle kept for re-checks.
 _COMBINE_SLICED = _os.environ.get("EGONERF_COMBINE_SLICED", "0") == "1"
+# Factorized two-stage combine: stage 1 folds the y-corner weights with a
+# single LANE-ALIGNED 128-wide multiply-add over the (N, 4C) buffer, stage
+# 2 folds the x weights on the 4x smaller (N, 2C) result — no reshape, so
+# no layout copy.  REJECTED in-situ r3 (BENCH_QUICK, p50 ms / rays/s):
+#   einsum+copy  151.2 / 27,552     factor  187.1 / 22,192
+# Like the sliced and 3-D-gather variants before it, dodging the 9.6 ms
+# copy costs more than the copy: the half-slice multiply-adds break the
+# gather+convert fusion and re-traverse the row buffer.  Default OFF.
+_COMBINE_FACTOR = _os.environ.get("EGONERF_COMBINE_FACTOR", "0") == "1"
 # hat-matrix line lookup (sample_line_hat) under compute_dtype=bfloat16 —
 # shared by EgoNeRF and the TensoRF family so a single toggle ablates the
 # formulation everywhere (151.4 vs 157.6 ms/step in-situ; ON by default)
@@ -154,32 +172,46 @@ def _axis_cells(coord, size):
     return jnp.clip(i0, 0, size - 1), w0, w1
 
 
-def plane_idx_weights(x, y, sel, h: int, w: int):
-    """Packed row index (N,) + 4 corner weights (N, 4) in order
-    (y0x0, y0x1, y1x0, y1x1); validity/zeros-padding folded into the
-    per-axis weights by :func:`_axis_cells`."""
+def plane_idx_weights_fac(x, y, sel, h: int, w: int):
+    """Packed row index (N,) + per-axis weight pairs ((wy0, wy1),
+    (wx0, wx1)), outer block axis first — the factorized form of the four
+    corner products; validity/zeros-padding folded into the per-axis
+    weights by :func:`_axis_cells`."""
     x0, wx0, wx1 = _axis_cells(x, w)
     y0, wy0, wy1 = _axis_cells(y, h)
     base = jnp.zeros_like(x0) if sel is None else sel.astype(jnp.int32) * (h * w)
     idx = base + y0 * w + x0
+    return idx, ((wy0, wy1), (wx0, wx1))
+
+
+def plane_idx_weights(x, y, sel, h: int, w: int):
+    """Packed row index (N,) + 4 corner weights (N, 4) in order
+    (y0x0, y0x1, y1x0, y1x1)."""
+    idx, ((wy0, wy1), (wx0, wx1)) = plane_idx_weights_fac(x, y, sel, h, w)
     weights = jnp.stack(
         [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
     return idx, weights
 
 
-def line_idx_weights(coord, sel, l: int):
+def line_idx_weights_fac(coord, sel, l: int):
     i0, w0, w1 = _axis_cells(coord, l)
     base = jnp.zeros_like(i0) if sel is None else sel.astype(jnp.int32) * l
     idx = base + i0
+    return idx, ((w0, w1),)
+
+
+def line_idx_weights(coord, sel, l: int):
+    idx, ((w0, w1),) = line_idx_weights_fac(coord, sel, l)
     weights = jnp.stack([w0, w1], axis=-1)
     return idx, weights
 
 
-def _gather_combine(packed, idx, weights, n_corners: int, out_dtype):
+def _gather_combine(packed, idx, weights, n_corners: int, out_dtype,
+                    factors=None):
     n = idx.shape[0]
     n_rows = packed.shape[0]
-    if (n_rows <= _ONEHOT_FWD_MAX_ROWS and packed.dtype == jnp.bfloat16
-            and out_dtype == jnp.float32):
+    if (_onehot_ok(n_rows, n, _ONEHOT_FWD_MAX_ROWS)
+            and packed.dtype == jnp.bfloat16 and out_dtype == jnp.float32):
         # small table: fetch rows with a one-hot matmul (bit-identical to
         # the gather — see the cost-model note at the top of this file)
         rows = jax.lax.dot_general(_onehot(idx, n_rows), packed,
@@ -194,6 +226,17 @@ def _gather_combine(packed, idx, weights, n_corners: int, out_dtype):
         return jnp.einsum("nk,nkc->nc", weights.astype(out_dtype), rows)
     else:
         rows = jnp.take(packed, idx, axis=0).astype(out_dtype)
+    if _COMBINE_FACTOR and factors is not None and not _COMBINE_SLICED:
+        # factorized per-axis combine: each stage halves the buffer with a
+        # multiply-add of two static half-slices (stage 1 is lane-aligned
+        # 128-wide at production channel counts) — no (N, K, C) reshape,
+        # so no layout copy of the row buffer
+        out = rows if rows.dtype == out_dtype else rows.astype(out_dtype)
+        for w0, w1 in factors:
+            half = out.shape[-1] // 2
+            out = (out[:, :half] * w0[:, None].astype(out_dtype)
+                   + out[:, half:] * w1[:, None].astype(out_dtype))
+        return out
     if _COMBINE_SLICED:
         # combine corners as K static slice-multiply-adds on the gather's
         # native (N, K*C) layout — the reshape->einsum formulation forces a
@@ -236,8 +279,11 @@ def sample_plane_packed(plane, x, y, sel):
 def _plane_fwd(plane, x, y, sel):
     s, h, w, c = plane.shape
     packed = pack_plane(plane)
-    idx, weights = plane_idx_weights(x, y, sel, h, w)
-    out = _gather_combine(packed, idx, weights, 4, jnp.float32)
+    idx, fac = plane_idx_weights_fac(x, y, sel, h, w)
+    ((wy0, wy1), (wx0, wx1)) = fac
+    weights = jnp.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    out = _gather_combine(packed, idx, weights, 4, jnp.float32, factors=fac)
     return out, (idx, weights, plane.shape)
 
 
@@ -308,8 +354,9 @@ def sample_line_packed(line, coord, sel):
 def _line_fwd(line, coord, sel):
     s, l, c = line.shape
     packed = pack_line(line)
-    idx, weights = line_idx_weights(coord, sel, l)
-    out = _gather_combine(packed, idx, weights, 2, jnp.float32)
+    idx, fac = line_idx_weights_fac(coord, sel, l)
+    weights = jnp.stack([fac[0][0], fac[0][1]], axis=-1)
+    out = _gather_combine(packed, idx, weights, 2, jnp.float32, factors=fac)
     return out, (idx, weights, line.shape)
 
 
@@ -341,7 +388,7 @@ def sample_line_packed_fastgrad(line, coord, sel):
 
 def _line_bwd_onehot(res, dout):
     idx, weights, (s, l, c) = res
-    if s * l > _ONEHOT_BWD_MAX_ROWS:
+    if not _onehot_ok(s * l, idx.shape[0], _ONEHOT_BWD_MAX_ROWS):
         return _line_bwd(res, dout)
     corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
         idx.shape[0], 2 * c).astype(jnp.bfloat16)
@@ -392,7 +439,7 @@ def sample_line_hat(line, coord, sel):
 
 def _hat_fwd(line, coord, sel):
     s, l, c = line.shape
-    if s * l > _ONEHOT_FWD_MAX_ROWS:
+    if not _onehot_ok(s * l, coord.shape[0], _ONEHOT_FWD_MAX_ROWS):
         out, _ = _line_fwd(line, coord, sel)
         return out, (coord, sel, line.shape)
     hat = _hat_matrix(line.shape, coord, sel)
@@ -404,7 +451,11 @@ def _hat_fwd(line, coord, sel):
 
 def _hat_bwd(res, dout):
     coord, sel, (s, l, c) = res
-    if s * l > _ONEHOT_BWD_MAX_ROWS:
+    # same gate as _hat_fwd so forward and backward stay transposes of the
+    # SAME operator — with the old wider bwd cap, tables in the fallback
+    # band got a gather forward (f32 weights) but a hat backward
+    # (bf16-rounded weights)
+    if not _onehot_ok(s * l, coord.shape[0], _ONEHOT_FWD_MAX_ROWS):
         idx, weights = line_idx_weights(coord, sel, l)
         return _line_bwd((idx, weights, (s, l, c)), dout)
     hat = _hat_matrix((s, l, c), coord, sel)
@@ -423,11 +474,15 @@ sample_line_hat.defvjp(_hat_fwd, _hat_bwd)
 # ---------------------------------------------------------------------------
 def sample_plane_packed_nograd(packed, h, w, x, y, sel, n_channels,
                                compute_dtype=jnp.float32):
-    idx, weights = plane_idx_weights(x, y, sel, h, w)
-    return _gather_combine(packed, idx, weights, 4, compute_dtype)
+    idx, fac = plane_idx_weights_fac(x, y, sel, h, w)
+    ((wy0, wy1), (wx0, wx1)) = fac
+    weights = jnp.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    return _gather_combine(packed, idx, weights, 4, compute_dtype, factors=fac)
 
 
 def sample_line_packed_nograd(packed, l, coord, sel, n_channels,
                               compute_dtype=jnp.float32):
-    idx, weights = line_idx_weights(coord, sel, l)
-    return _gather_combine(packed, idx, weights, 2, compute_dtype)
+    idx, fac = line_idx_weights_fac(coord, sel, l)
+    weights = jnp.stack([fac[0][0], fac[0][1]], axis=-1)
+    return _gather_combine(packed, idx, weights, 2, compute_dtype, factors=fac)

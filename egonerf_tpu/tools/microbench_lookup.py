@@ -71,7 +71,7 @@ def _scanned(body):
     return jax.jit(outer)
 
 
-def ray_coherent_coords(key):
+def ray_coherent_coords(seed: int = 0):
     """Realistic sample stream: exp-spaced depths along random rays through
     the yin-yang chart (locality matches training)."""
     from ..coords.yinyang import YinYangSphericalCoords
@@ -79,7 +79,7 @@ def ray_coherent_coords(key):
     aabb = np.array([[-8.5, -8.5, -8.5], [8.5, 8.5, 8.5]], np.float32)
     coords = YinYangSphericalCoords(aabb, exp_r=True, N_voxel=27_000_000,
                                     r0=0.05, interval_th=True)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     d = rng.normal(size=(B, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = rng.uniform(-0.2, 0.2, size=(B, 3)).astype(np.float32)
@@ -94,7 +94,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', dev)}")
     rng = jax.random.PRNGKey(0)
-    r, th, ph, sel = ray_coherent_coords(rng)
+    r, th, ph, sel = ray_coherent_coords()
     r, th, ph, sel = map(jnp.asarray, (r, th, ph, sel))
     dout = jax.random.normal(rng, (N, C), jnp.float32)
 
