@@ -271,8 +271,9 @@ class LLFFDataset(EgoNeRFDataset):
         img_dir = "images" if self.downsample == 1.0 else f"images_{int(self.downsample)}"
         self.image_paths = sorted(glob.glob(os.path.join(self.root_dir, img_dir, "*")))
         if self.split in ("train", "test"):
-            assert len(poses_bounds) == len(self.image_paths), \
-                "Mismatch between number of images and number of poses!"
+            assert len(poses_bounds) == len(self.image_paths), (
+                f"poses_bounds.npy has {len(poses_bounds)} poses but "
+                f"{img_dir}/ holds {len(self.image_paths)} images")
 
         poses = poses_bounds[:, :15].reshape(-1, 3, 5)
         self.near_fars = poses_bounds[:, -2:]

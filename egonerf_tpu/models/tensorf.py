@@ -282,6 +282,10 @@ class TensorVMSplit(TensorBase):
     """Per-axis plane+line VM decomposition (reference: models/tensoRF.py:127-284)."""
 
     name = "TensorVMSplit"
+    # VMSplit rectifies each axis' density contribution
+    # (reference: models/tensoRF.py:210 F.relu); the fused TensorVM sums
+    # raw products (reference: models/tensoRF.py:33,50 — no relu)
+    _density_relu = True
 
     def init_params(self, key) -> dict:
         cfg = self.cfg
@@ -329,7 +333,8 @@ class TensorVMSplit(TensorBase):
             p = plane_fn(plane, flat[:, m0], flat[:, m1], None)
             l = line_fn(line, flat[:, VEC_MODE[i]], None)
             prod = p * l
-            dfeat = dfeat + jnp.maximum(jnp.sum(prod[:, : n_d[i]], axis=-1), 0.0)
+            d_i = jnp.sum(prod[:, : n_d[i]], axis=-1)
+            dfeat = dfeat + (jnp.maximum(d_i, 0.0) if self._density_relu else d_i)
             app_parts.append(prod[:, n_d[i] :])
         app = jnp.concatenate(app_parts, axis=-1) @ params["basis"]
         return dfeat.reshape(lead), app.reshape(*lead, -1)
@@ -348,7 +353,8 @@ class TensorVMSplit(TensorBase):
                 line = jnp.pad(line, ((0, 0), (0, 0), (0, pad)))
             p = sample_plane_packed(plane, flat[:, m0], flat[:, m1], None)
             l = sample_line_packed(line, flat[:, VEC_MODE[i]], None)
-            feat = feat + jnp.maximum(jnp.sum(p * l, axis=-1), 0.0)
+            f_i = jnp.sum(p * l, axis=-1)
+            feat = feat + (jnp.maximum(f_i, 0.0) if self._density_relu else f_i)
         return feat.reshape(lead)
 
     # -- regularizers (reference: models/tensoRF.py:168-196) -------------
@@ -406,12 +412,14 @@ class TensorVMSplit(TensorBase):
 
 class TensorVM(TensorVMSplit):
     """Planes fused across axes into single (3, res, res, C) tensors
-    (reference: models/tensoRF.py:5-124).  Functionally the lookups match
-    TensorVMSplit with equal per-axis resolution; parameters are stored
-    per-axis here as well (the fused storage is a CUDA-batching detail with
-    no TPU benefit)."""
+    (reference: models/tensoRF.py:5-124).  The lookups match TensorVMSplit
+    with equal per-axis resolution except that density contributions are
+    NOT rectified per axis (reference: models/tensoRF.py:33,50 sums the raw
+    products); parameters are stored per-axis here as well (the fused
+    storage is a CUDA-batching detail with no TPU benefit)."""
 
     name = "TensorVM"
+    _density_relu = False
 
 
 class TensorCP(TensorBase):
@@ -502,8 +510,11 @@ class TensorCP(TensorBase):
     def shrink(self, params, new_aabb):
         lo_n, hi_n = self.coordinates.get_normalized_range(new_aabb)
         gs = np.asarray(self.grid_size)
-        t_l = np.round(np.asarray(lo_n) * gs).astype(int)
-        b_r = np.minimum(np.round(np.asarray(hi_n) * gs).astype(int) + 1, gs)
+        # CP scales by units = aabb/(gs-1), i.e. (gs-1) cells — one cell
+        # tighter than VMSplit's gs scaling (reference: models/tensoRF.py:
+        # 369-371 vs :253-255 — a quirk difference kept for parity)
+        t_l = np.round(np.asarray(lo_n) * (gs - 1)).astype(int)
+        b_r = np.minimum(np.round(np.asarray(hi_n) * (gs - 1)).astype(int) + 1, gs)
         out = dict(params)
         for lk in ("density_lines", "app_lines"):
             out[lk] = [params[lk][i][:, t_l[VEC_MODE[i]] : b_r[VEC_MODE[i]], :]
