@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, batch_sharding, pad_to_multiple
+from ..parallel.mesh import (DATA_AXIS, batch_sharding, pad_to_multiple,
+                             put_batch_sharded)
 from .metrics import psnr as psnr_fn
 from .metrics import rgb_lpips, rgb_ssim, ws_ssim
 from .viz import to_uint8, visualize_depth
@@ -66,7 +67,12 @@ class Renderer:
 
             if self.mesh is not None:
                 sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-                fn = jax.jit(render_all, in_shardings=(None, sharding))
+                # pod: replicate outputs (one ICI/DCN all-gather) so every
+                # process can fetch the full image; free single-process
+                out_sh = (NamedSharding(self.mesh, P())
+                          if jax.process_count() > 1 else None)
+                fn = jax.jit(render_all, in_shardings=(None, sharding),
+                             **({"out_shardings": out_sh} if out_sh else {}))
             else:
                 fn = jax.jit(render_all)
             self._jitted[cache_key] = fn
@@ -80,7 +86,10 @@ class Renderer:
             rays = np.concatenate([rays, np.repeat(rays[-1:], n_pad - n, axis=0)])
         n_chunks = n_pad // self.chunk
         fn = self._get_fn(pretrain_envmap, n_chunks)
-        out = fn(params, jnp.asarray(rays.reshape(n_chunks, self.chunk, 6)))
+        rays = rays.reshape(n_chunks, self.chunk, 6)
+        rays = (put_batch_sharded(self.mesh, rays, P(None, DATA_AXIS, None))
+                if self.mesh is not None else jnp.asarray(rays))
+        out = fn(params, rays)
         return {k: np.asarray(v).reshape(n_pad, *v.shape[2:])[:n]
                 for k, v in out.items()}
 
@@ -99,8 +108,8 @@ class Renderer:
             dirs = np.concatenate([dirs, np.repeat(dirs[-1:], n_pad - dirs.shape[0], 0)])
         dirs = dirs.reshape(n_pad // self.chunk, self.chunk, 3)
         if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
-            self._dirs_buf = jax.device_put(dirs, sh)
+            self._dirs_buf = put_batch_sharded(self.mesh, dirs,
+                                               P(None, DATA_AXIS, None))
         else:
             self._dirs_buf = jax.device_put(dirs)
 
@@ -129,7 +138,10 @@ class Renderer:
 
             if self.mesh is not None:
                 sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
-                fn = jax.jit(render_all, in_shardings=(None, sh, None, None))
+                out_sh = (NamedSharding(self.mesh, P())
+                          if jax.process_count() > 1 else None)
+                fn = jax.jit(render_all, in_shardings=(None, sh, None, None),
+                             **({"out_shardings": out_sh} if out_sh else {}))
             else:
                 fn = jax.jit(render_all)
             self._jitted[key] = fn

@@ -87,7 +87,7 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
             sig = f"{m.group(1)} -> {m.group(2)}" if m else name[:60]
             per_sig[sig] += ms
         total = sum(per_sig.values())
-        n_steps = 24  # the trainer hook traces 24 steady-state iterations
+        from ..train.trainer import PROFILE_TRACE_ITERS as n_steps
         print(f"\n=== plane: {plane.name} ({n_events} events, "
               f"{total:.1f} ms real-op total across {n_steps} steps) ===")
         print(f"{'op signature':72s} {'ms/step':>8s} {'share':>7s}")

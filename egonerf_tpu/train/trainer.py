@@ -38,23 +38,34 @@ from ..models import build_model, model_meta
 from ..ops.volrend import ray_entropy
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicate_tree, replicated
+from ..parallel.mesh import (DATA_AXIS, batch_sharding, is_lead_process,
+                             make_mesh, put_batch_sharded, put_replicated,
+                             replicate_tree, replicated)
 from ..render.renderer import Renderer, evaluation
 from .checkpoint import latest_checkpoint, restore_params, save_checkpoint
 from .config import Config, export_config
 from .optim import fast_forward_schedule, make_optimizer
 
+# steady-state iterations the profiler hook traces; tools/profile_step.py
+# divides its per-op totals by this — keep them in sync via this constant
+PROFILE_TRACE_ITERS = 24
+
 
 class MetricsLogger:
     """JSONL scalar log + optional TensorBoard (torch SummaryWriter when
     available) — covers the reference's SummaryWriter usage
-    (reference: train.py:111,320-321)."""
+    (reference: train.py:111,320-321).  ``enabled=False`` (non-lead pod
+    processes) turns every call into a no-op so only one process writes."""
 
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str, enabled: bool = True):
+        self.enabled = enabled
+        self._f = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.jsonl")
         self._f = open(self.path, "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter  # type: ignore
 
@@ -63,12 +74,14 @@ class MetricsLogger:
             pass
 
     def scalar(self, tag: str, value: float, step: int):
-        self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._f is not None:
+            self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(tag, value, global_step=step)
 
     def flush(self):
-        self._f.flush()
+        if self._f is not None:
+            self._f.flush()
         if self._tb is not None:
             self._tb.flush()
 
@@ -101,12 +114,14 @@ class Trainer:
         self.white_bg = self.train_dataset.white_bg
         aabb = self.train_dataset.scene_bbox
 
-        # -- logdir -----------------------------------------------------
+        # -- logdir (file IO is lead-process-only on a pod) --------------
+        self.lead = is_lead_process()
         stamp = datetime.datetime.now().strftime("-%Y%m%d-%H%M%S") if cfg.add_timestamp else ""
         self.logdir = os.path.join(cfg.basedir, cfg.expname + stamp)
-        os.makedirs(os.path.join(self.logdir, "imgs_vis"), exist_ok=True)
-        export_config(cfg, self.logdir)
-        self.log = MetricsLogger(self.logdir)
+        if self.lead:
+            os.makedirs(os.path.join(self.logdir, "imgs_vis"), exist_ok=True)
+            export_config(cfg, self.logdir)
+        self.log = MetricsLogger(self.logdir, enabled=self.lead)
 
         # -- mesh -------------------------------------------------------
         n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else None
@@ -197,9 +212,8 @@ class Trainer:
                 cols.append(self.train_dataset.all_depths.reshape(-1, 1))
             packed = np.concatenate(cols, axis=1).astype(np.float32)
             packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
-            sharding = replicated(self.mesh) if self.multi_device else None
-            self._train_buf = (jax.device_put(packed, sharding) if sharding
-                               else jax.device_put(packed))
+            self._train_buf = (put_replicated(self.mesh, packed)
+                               if self.multi_device else jax.device_put(packed))
 
         # voxel upsample schedule: log-linear (reference: train.py:189)
         ups = cfg.upsamp_list or []
@@ -457,8 +471,10 @@ class Trainer:
                 n_steps, -1, 1))
         batch = np.concatenate(cols, axis=-1).astype(np.float32)
         if self.multi_device:
-            sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
-            return jax.device_put(batch, sh)
+            # pod note: the host sampler is seed-identical on every
+            # process, so each process materializes the same global batch
+            # and contributes the shards it owns
+            return put_batch_sharded(self.mesh, batch, P(None, DATA_AXIS, None))
         return jnp.asarray(batch)
 
     def set_datasets(self, train_dataset, test_dataset) -> None:
@@ -481,9 +497,8 @@ class Trainer:
                 cols.append(train_dataset.all_depths.reshape(-1, 1))
             packed = np.concatenate(cols, axis=1).astype(np.float32)
             packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
-            sharding = replicated(self.mesh) if self.multi_device else None
-            self._train_buf = (jax.device_put(packed, sharding) if sharding
-                               else jax.device_put(packed))
+            self._train_buf = (put_replicated(self.mesh, packed)
+                               if self.multi_device else jax.device_put(packed))
         self._step_cache = {}
         self.renderer._jitted = {}
 
@@ -526,7 +541,8 @@ class Trainer:
             if it % 200 < k_steps:
                 print(f"  envmap pretrain {it}: mse {float(mses[-1]):.5f}")
         evaluation(self.test_dataset, self.model, self.params, self.renderer,
-                   save_path=os.path.join(self.logdir, "imgs_vis"),
+                   save_path=(os.path.join(self.logdir, "imgs_vis")
+                              if self.lead else None),
                    envmap_only=True)
         # reset optimizer with the post-pretrain envmap lr (reference: train.py:241-242)
         self._build_optimizer(lr_scale=1.0, lr_envmap=cfg.lr_envmap)
@@ -551,7 +567,7 @@ class Trainer:
             # (reference has only wall-clock prints, renderer.py:68,75)
             if cfg.profile_dir and profile_state == 0 and iteration >= self.start_step + 16:
                 jax.profiler.start_trace(cfg.profile_dir)
-                profile_state, profile_end = 1, iteration + 24
+                profile_state, profile_end = 1, iteration + PROFILE_TRACE_ITERS
             elif cfg.profile_dir and profile_state == 1 and iteration >= profile_end:
                 jax.profiler.stop_trace()
                 profile_state = 2
@@ -586,7 +602,8 @@ class Trainer:
             if (iteration + 1) in vis_list and cfg.N_vis != 0:
                 psnrs_test = evaluation(
                     self.test_dataset, self.model, self.params, self.renderer,
-                    save_path=os.path.join(self.logdir, "imgs_vis"),
+                    save_path=(os.path.join(self.logdir, "imgs_vis")
+                               if self.lead else None),
                     prefix=f"{iteration:06d}_", n_vis=cfg.N_vis,
                     compute_extra_metrics=False)
                 if psnrs_test:
@@ -672,6 +689,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str, global_step: int):
+        if not self.lead:
+            return  # pod: one writer (params are replicated; shared FS)
         masks = None
         mask = getattr(self.model, "alpha_mask", None)
         if mask is not None:
