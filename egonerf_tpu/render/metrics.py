@@ -87,9 +87,14 @@ _LPIPS_CACHE: dict = {}
 
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex",
               device: str = "cpu") -> Optional[float]:
-    """LPIPS perceptual distance; returns None when the optional lpips
-    package (and its pretrained weights) is unavailable
-    (reference: utils.py:77-92)."""
+    """LPIPS perceptual distance; returns None when neither a local
+    weights file (render/lpips_jax.py discovery path) nor the optional
+    torch lpips package is available (reference: utils.py:77-92)."""
+    from .lpips_jax import rgb_lpips_jax
+
+    v = rgb_lpips_jax(np_gt, np_im, net_name)
+    if v is not None:
+        return v
     try:
         import torch
         import lpips  # type: ignore
