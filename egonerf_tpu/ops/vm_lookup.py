@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _SCATTER_CHUNK = 128  # f32 columns per scatter op (512 B rows)
 
@@ -94,11 +95,88 @@ LINE_HAT = _os.environ.get("EGONERF_LINE_HAT", "1") == "1"
 # ms/step vs 151.7 — the 3-D operand falls off the 512-byte-row fast
 # gather path entirely; copy + flat gather wins.  Kept for re-checks.
 _GATHER_3D = _os.environ.get("EGONERF_GATHER_3D", "0") == "1"
+# Matmul corner-combine: out = (rows * (w @ R)) @ S with constant 0/1
+# block matrices R (K, K*C) and S (K*C, C) — the corner reduction rides
+# the MXU and every intermediate keeps the gather's native (N, K*C)
+# layout, so the (N, K, C) reshape and its 9.6 ms/step row-buffer layout
+# copy disappear; the same identity forms backward corner cotangents as
+# (w @ R) * (dout @ T) with T (C, K*C).  f32 multiply/accumulate — same
+# summation count as the einsum (one product + K-term add per output).
+# In-situ r3 (BENCH_QUICK, p50 ms / rays/s):
+#   einsum+copy (0)        151.9 / 27,478    matmul (1)   145.9 / 28,554
+#   bf16 product ("bf16")  145.0 / 28,710    + steps_per_call=24: both
+#   variants land at 142.4 — the bf16 product's win vanishes once
+#   dispatch is amortized, so the f32 product (exact weights, backward
+#   bit-identical to the einsum formulation) is the default.
+_COMBINE_MM = _os.environ.get("EGONERF_COMBINE_MM", "1") != "0"
+# "bf16": keep the weighted rows in bf16 (no f32 convert traverse of the
+# 512 MB row buffer; weights bf16-rounded like the hat path) and let the
+# MXU accumulate in f32.  Kept for re-checks; no win over f32 (table
+# above).
+_COMBINE_MM_BF16 = _os.environ.get("EGONERF_COMBINE_MM", "1") == "bf16"
+# pad the S matrix's output axis to the 128-lane MXU tile (c=64 leaves
+# half the lanes idle); in-situ r3: 141.7 -> 140.8 ms/step.  Default ON.
+_COMBINE_MM_PAD = _os.environ.get("EGONERF_COMBINE_MM_PAD", "1") == "1"
+# the same 128-lane padding for the hat-matrix line dots (c = 16/48):
+# measured NEUTRAL in-situ (140.8 ms both ways — the line dots are too
+# small a bill for lane occupancy to matter).  Kept opt-in for re-checks.
+_HAT_PAD = _os.environ.get("EGONERF_HAT_PAD", "0") == "1"
 
 
 def _onehot(idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     return (idx[:, None] == jnp.arange(n_rows, dtype=idx.dtype)[None, :]
             ).astype(jnp.bfloat16)
+
+
+def _expand_weights_mm(weights, c: int, dtype):
+    """(N, K) corner weights -> (N, K*C) with out[n, k*c+j] = w[n, k].
+
+    Built as an MXU matmul against the constant block matrix
+    R[k', k*c+j] = [k'==k] so the result is BORN in the row buffer's
+    native (N, K*C) layout — a broadcast->reshape would re-trigger the
+    layout copy this path exists to avoid."""
+    k = weights.shape[-1]
+    r = jnp.asarray(np.repeat(np.eye(k, dtype=np.float32), c, axis=1), dtype)
+    return jax.lax.dot_general(weights.astype(dtype), r,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
+
+
+def _combine_mm(rows, weights, n_corners: int, out_dtype):
+    """Sum the K weighted corner blocks of (N, K*C) ``rows`` on the MXU:
+    (rows * (w @ R)) @ S, S[k*c+j', j] = [j'==j] — reshape-free."""
+    c = rows.shape[-1] // n_corners
+    mul_dtype = (jnp.bfloat16 if _COMBINE_MM_BF16
+                 and rows.dtype == jnp.bfloat16 else out_dtype)
+    w_big = _expand_weights_mm(weights, c, mul_dtype)
+    prod = rows.astype(mul_dtype) * w_big
+    s_np = np.tile(np.eye(c, dtype=np.float32), (n_corners, 1))
+    if _COMBINE_MM_PAD and c % 128:
+        # pad the selection matrix's output axis to the 128-lane MXU tile
+        # (the zero columns are free compute; the result slice is a view)
+        s_np = np.concatenate(
+            [s_np, np.zeros((s_np.shape[0], -c % 128), np.float32)], axis=1)
+    s_mat = jnp.asarray(s_np, mul_dtype)
+    out = jax.lax.dot_general(prod, s_mat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=out_dtype)
+    return out[:, :c] if out.shape[-1] != c else out
+
+
+def _corner_cotangents(weights, dout, n_corners: int, c: int):
+    """(N, K) weights x (N, C) dout -> (N, K*C) f32 corner cotangents,
+    corner[n, k*c+j] = w[n, k] * dout[n, j] — the transpose-side twin of
+    :func:`_combine_mm` (tile dout with T[j', k*c+j] = [j'==j] instead of
+    broadcast->reshape, keeping the scatter operand's native layout)."""
+    if _COMBINE_MM:
+        w_big = _expand_weights_mm(weights, c, jnp.float32)
+        t_mat = jnp.asarray(np.tile(np.eye(c, dtype=np.float32),
+                                    (1, n_corners)), jnp.float32)
+        d_big = jax.lax.dot_general(dout.astype(jnp.float32), t_mat,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        return w_big * d_big
+    return (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)
+            ).reshape(weights.shape[0], n_corners * c)
 
 
 def _shift_x(p):
@@ -247,6 +325,8 @@ def _gather_combine(packed, idx, weights, n_corners: int, out_dtype,
         for k in range(1, n_corners):
             out = out + w[:, k : k + 1] * rows[:, k * c : (k + 1) * c]
         return out
+    if _COMBINE_MM:
+        return _combine_mm(rows, weights, n_corners, out_dtype)
     rows = rows.reshape(n, n_corners, -1)
     return jnp.einsum("nk,nkc->nc", weights.astype(out_dtype), rows)
 
@@ -289,8 +369,7 @@ def _plane_fwd(plane, x, y, sel):
 
 def _plane_bwd(res, dout):
     idx, weights, (s, h, w, c) = res
-    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
-        idx.shape[0], 4 * c)
+    corner = _corner_cotangents(weights, dout, 4, c)
     gpacked = _scatter_chunked(idx, corner, s * h * w)
     g = gpacked.reshape(s, h, w, 4, c)
     dplane = (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
@@ -320,8 +399,7 @@ def sample_plane_packed_fastgrad(plane, x, y, sel):
 def _plane_bwd_bf16(res, dout):
     idx, weights, (s, h, w, c) = res
     if not _PLANE_SORTED_SCATTER:
-        corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)
-                  ).reshape(idx.shape[0], 4 * c).astype(jnp.bfloat16)
+        corner = _corner_cotangents(weights, dout, 4, c).astype(jnp.bfloat16)
         gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[idx].add(corner)
         g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
         return (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
@@ -362,8 +440,7 @@ def _line_fwd(line, coord, sel):
 
 def _line_bwd(res, dout):
     idx, weights, (s, l, c) = res
-    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
-        idx.shape[0], 2 * c)
+    corner = _corner_cotangents(weights, dout, 2, c)
     gpacked = _scatter_chunked(idx, corner, s * l)
     g = gpacked.reshape(s, l, 2, c)
     dline = g[:, :, 0, :] + _unshift_l(g[:, :, 1, :])
@@ -390,12 +467,13 @@ def _line_bwd_onehot(res, dout):
     idx, weights, (s, l, c) = res
     if not _onehot_ok(s * l, idx.shape[0], _ONEHOT_BWD_MAX_ROWS):
         return _line_bwd(res, dout)
-    corner = (weights[:, :, None] * dout[:, None, :].astype(jnp.float32)).reshape(
-        idx.shape[0], 2 * c).astype(jnp.bfloat16)
+    corner = _corner_cotangents(weights, dout, 2, c).astype(jnp.bfloat16)
+    if _HAT_PAD and (2 * c) % 128:
+        corner = jnp.pad(corner, ((0, 0), (0, -(2 * c) % 128)))
     gpacked = jax.lax.dot_general(_onehot(idx, s * l), corner,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    g = gpacked.reshape(s, l, 2, c)
+    g = gpacked[:, :2 * c].reshape(s, l, 2, c)
     dline = g[:, :, 0, :] + _unshift_l(g[:, :, 1, :])
     return dline, None, None
 
@@ -444,9 +522,12 @@ def _hat_fwd(line, coord, sel):
         return out, (coord, sel, line.shape)
     hat = _hat_matrix(line.shape, coord, sel)
     flat = line.reshape(s * l, c).astype(jnp.bfloat16)
+    if _HAT_PAD and c % 128:
+        # zero-pad the table's channel axis to the 128-lane MXU tile
+        flat = jnp.pad(flat, ((0, 0), (0, -c % 128)))
     out = jax.lax.dot_general(hat, flat, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return out, (coord, sel, line.shape)
+    return out[:, :c], (coord, sel, line.shape)
 
 
 def _hat_bwd(res, dout):
@@ -459,10 +540,12 @@ def _hat_bwd(res, dout):
         idx, weights = line_idx_weights(coord, sel, l)
         return _line_bwd((idx, weights, (s, l, c)), dout)
     hat = _hat_matrix((s, l, c), coord, sel)
-    dflat = jax.lax.dot_general(hat, dout.astype(jnp.bfloat16),
-                                (((0,), (0,)), ((), ())),
+    d = dout.astype(jnp.bfloat16)
+    if _HAT_PAD and c % 128:
+        d = jnp.pad(d, ((0, 0), (0, -c % 128)))
+    dflat = jax.lax.dot_general(hat, d, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    return dflat.reshape(s, l, c), None, None
+    return dflat[:, :c].reshape(s, l, c), None, None
 
 
 sample_line_hat.defvjp(_hat_fwd, _hat_bwd)

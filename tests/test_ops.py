@@ -152,15 +152,20 @@ def test_sample_pdf_train_mode_in_support():
     assert samples.min() >= 2.0 - 1e-5 and samples.max() <= 5.0 + 1e-5
 
 
-def test_packed_lookup_matches_grid_sample_out_of_range_band():
-    """The packed lookups must equal F.grid_sample(align_corners=True,
-    padding_mode='zeros') EXACTLY — including coords one cell below -1
-    (p in (-1, 0)), where the clamped pair fetch must put the surviving
-    corner's weight on pair position 0.  Regression for a weight-shift
-    bug in that band (found via the hat-matrix formulation)."""
+def test_packed_lookup_matches_grid_sample_out_of_range_band(monkeypatch):
+    """The einsum-path packed lookups must equal
+    F.grid_sample(align_corners=True, padding_mode='zeros') EXACTLY —
+    including coords one cell below -1 (p in (-1, 0)), where the clamped
+    pair fetch must put the surviving corner's weight on pair position 0.
+    Regression for a weight-shift bug in that band (found via the
+    hat-matrix formulation).  The production matmul-combine path reorders
+    the f32 corner reduction; its epsilon-equivalence to this bit-exact
+    anchor is pinned by test_combine_mm_matches_einsum."""
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
     from egonerf_tpu.ops import vm_lookup as vl
+
+    monkeypatch.setattr(vl, "_COMBINE_MM", False)
 
     rng = np.random.default_rng(7)
     n, c = 4000, 8
@@ -452,3 +457,28 @@ def test_sample_pdf_sorted_draws_same_law():
     qs = np.linspace(5, 95, 19)
     np.testing.assert_allclose(np.percentile(plain, qs), np.percentile(srt, qs),
                                atol=0.25)
+
+
+def test_combine_mm_matches_einsum():
+    """The matmul corner-combine (rows * (w @ R)) @ S vs the reshape ->
+    einsum formulation: forward equal to f32 epsilon (reduction reorder
+    only), backward corner cotangents BIT-identical (the 0/1-matrix dots
+    only add exact zeros around the same single multiplies)."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(11)
+    for n_corners, c in ((4, 48), (2, 16), (4, 64)):
+        n = 3000
+        rows = jnp.asarray(rng.normal(size=(n, n_corners * c))
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.uniform(size=(n, n_corners)).astype(np.float32))
+        got = np.asarray(vl._combine_mm(rows, w, n_corners, jnp.float32))
+        want = np.asarray(jnp.einsum(
+            "nk,nkc->nc", w, rows.astype(jnp.float32).reshape(n, n_corners, c)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+        dout = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        got_b = np.asarray(vl._corner_cotangents(w, dout, n_corners, c))
+        want_b = np.asarray(
+            (w[:, :, None] * dout[:, None, :]).reshape(n, n_corners * c))
+        np.testing.assert_array_equal(got_b, want_b)
