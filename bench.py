@@ -37,7 +37,7 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 SANITY_FLOOR = 9_000.0  # rays/s; below this the host/TPU was degraded
 
 WARMUP_ITERS = 96
-STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", 8))
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", 48))
 CALLS_PER_SEG = 5
 N_SEGMENTS = 4
 if os.environ.get("BENCH_QUICK"):  # ablation mode: faster, slightly noisier

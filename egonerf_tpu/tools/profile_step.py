@@ -17,7 +17,9 @@ import sys
 from collections import defaultdict
 
 PROFILE_DIR = "/tmp/egonerf_profile"
-N_ITERS = 64
+# warmup (16) + at least one full steady-state fused chunk inside the
+# trace window, at the default steps_per_call=48
+N_ITERS = 160
 
 
 def capture():
@@ -87,7 +89,15 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
             sig = f"{m.group(1)} -> {m.group(2)}" if m else name[:60]
             per_sig[sig] += ms
         total = sum(per_sig.values())
-        from ..train.trainer import PROFILE_TRACE_ITERS as n_steps
+        # the trainer records how many steps the trace actually covered
+        # (chunking rounds its window up to whole fused chunks)
+        try:
+            with open(os.path.join(profile_dir, "traced_steps.json")) as f:
+                import json
+
+                n_steps = json.load(f)["steps"]
+        except (OSError, KeyError, ValueError):
+            from ..train.trainer import PROFILE_TRACE_ITERS as n_steps
         print(f"\n=== plane: {plane.name} ({n_events} events, "
               f"{total:.1f} ms real-op total across {n_steps} steps) ===")
         print(f"{'op signature':72s} {'ms/step':>8s} {'share':>7s}")

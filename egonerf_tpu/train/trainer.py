@@ -509,6 +509,15 @@ class Trainer:
             return step_fn(self.params, self.opt_state, key, step0, self._train_buf)
         return step_fn(self.params, self.opt_state, batch, key, step0)
 
+    def _stop_profile_trace(self, traced_steps: int):
+        jax.profiler.stop_trace()
+        # chunking rounds the trace window to whole fused chunks — record
+        # the ACTUAL traced step count for tools/profile_step.summarize
+        with open(os.path.join(self.cfg.profile_dir, "traced_steps.json"),
+                  "w") as f:
+            json.dump({"steps": int(traced_steps)}, f)
+        print(f"profiler trace written to {self.cfg.profile_dir}")
+
     def _device_counters(self, start: int, key):
         """Device-resident step counter + RNG key (replicated on a mesh)."""
         step0 = np.int32(start)
@@ -568,10 +577,10 @@ class Trainer:
             if cfg.profile_dir and profile_state == 0 and iteration >= self.start_step + 16:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profile_state, profile_end = 1, iteration + PROFILE_TRACE_ITERS
+                profile_start_it = iteration
             elif cfg.profile_dir and profile_state == 1 and iteration >= profile_end:
-                jax.profiler.stop_trace()
                 profile_state = 2
-                print(f"profiler trace written to {cfg.profile_dir}")
+                self._stop_profile_trace(iteration - profile_start_it)
 
             k_steps = self._chunk_len(iteration)
             iters = list(range(iteration, iteration + k_steps))
@@ -629,6 +638,11 @@ class Trainer:
                 self._upsample(iteration)
 
             iteration += 1
+
+        if cfg.profile_dir and profile_state == 1:
+            # run ended mid-window (large chunks / short schedules) —
+            # flush what was captured instead of dropping the trace
+            self._stop_profile_trace(iteration - profile_start_it)
 
         self.save(os.path.join(self.logdir, f"{cfg.expname}.npz"), cfg.n_iters)
         self.log.flush()
