@@ -116,3 +116,37 @@ def test_ndc_path():
     rays = random_rays(16, seed=5)
     out = model.forward(params, rays, n_coarse=16, ndc_ray=True)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_packed_alpha_mask_matches_trilinear_golden():
+    """The packed-row alpha-mask lookup (one fast-path int8 gather + fused
+    multiply-reduce, models/alphamask.py) vs the 8-gather trilinear golden
+    (ops/grid_sample.sample_volume), incl. out-of-range coords, both mask
+    classes, and the checkpoint .volume round-trip."""
+    import jax.numpy as jnp
+
+    from egonerf_tpu.models.alphamask import AlphaGridMask, YinYangAlphaGridMask
+    from egonerf_tpu.ops.grid_sample import sample_volume
+
+    rng = np.random.default_rng(3)
+    v1 = (rng.uniform(size=(9, 11, 13)) > 0.5).astype(np.float32)
+    v2 = (rng.uniform(size=(9, 11, 13)) > 0.5).astype(np.float32)
+    n = 6000
+    coords = rng.uniform(-1.25, 1.25, size=(n, 3)).astype(np.float32)
+
+    m = AlphaGridMask(v1)
+    got = np.asarray(m.sample_alpha(jnp.asarray(coords)))
+    want = np.asarray(sample_volume(
+        jnp.asarray(v1.reshape(1, *v1.shape, 1)), jnp.asarray(coords[:, 0]),
+        jnp.asarray(coords[:, 1]), jnp.asarray(coords[:, 2])))[:, 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.array_equal(np.asarray(m.volume)[0, ..., 0], v1)
+
+    ym = YinYangAlphaGridMask(v1, v2)
+    c4 = np.concatenate([coords, rng.integers(0, 2, (n, 1))],
+                        axis=1).astype(np.float32)
+    got2 = np.asarray(ym.sample_alpha(jnp.asarray(c4)))
+    want2 = np.asarray(sample_volume(
+        ym.volume, jnp.asarray(c4[:, 0]), jnp.asarray(c4[:, 1]),
+        jnp.asarray(c4[:, 2]), jnp.asarray(c4[:, 3].astype(np.int32))))[:, 0]
+    np.testing.assert_allclose(got2, want2, atol=1e-6)
