@@ -139,7 +139,7 @@ def main(preset: str = "small", out_path: str = ""):
     test_ds = SyntheticEgoDataset(split="test", is_stack=True, **P["dataset"])
     test_rays = np.asarray(test_ds.all_rays[0]).reshape(-1, 6).astype(np.float32)
     test_gt = np.asarray(test_ds.all_rgbs[0]).reshape(-1, 3).astype(np.float32)
-    if P["eval_rays"]:
+    if P["eval_rays"] and P["eval_rays"] < test_rays.shape[0]:
         # fixed subsample keeps the torch-CPU eval affordable at the
         # production shape; identical rays on both sides -> fair PSNR
         pick = np.random.default_rng(7).choice(

@@ -24,7 +24,9 @@ import json
 import statistics
 import time
 
-WARMUP_ITERS = 64
+# long enough for the density field to localize and the alpha mask to
+# bake (update at 1000), so gate_occupancy is a converged-ish number
+WARMUP_ITERS = 1200
 STEPS_PER_CALL = 8
 CALLS_PER_SEG = 3
 N_SEGMENTS = 3
@@ -54,7 +56,9 @@ def main():
         use_coarse_sample=False, n_coarse=N_SAMPLES, batch_size=BATCH,
         N_voxel_init=N_VOXEL, N_voxel_final=N_VOXEL,
         near_far="[0.05, 8.5]", n_iters=WARMUP_ITERS,
-        steps_per_call=STEPS_PER_CALL, progress_refresh_rate=10**9,
+        update_AlphaMask_list="[1000]", L1_weight_initial=8e-5,
+        L1_weight_rest=4e-5,
+        steps_per_call=STEPS_PER_CALL, progress_refresh_rate=400,
         basedir="/tmp/egonerf_tensorf_bench", expname="tb", N_vis=0,
         vis_list="[1000000000]", i_weights=10**9,
     ))
