@@ -223,18 +223,18 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
               + (f", psnr {psnrs[-1]:.2f}" if psnrs else ""))
 
     if psnrs and save_path:
-        row = [float(np.mean(psnrs))]
-        if compute_extra_metrics:
-            row.append(float(np.mean(ssims)))
-            row.append(float(np.mean(wssims)))
-            if l_alex:
-                row.append(float(np.mean(l_alex)))
-            if l_vgg:
-                row.append(float(np.mean(l_vgg)))
+        # fixed 5-column row [psnr, ssim, ws_ssim, lpips_alex, lpips_vgg];
+        # nan marks a metric unavailable in this environment, so tooling
+        # written against the reference's fixed-width mean.txt
+        # (reference: renderer.py:196) parses ours by position too
+        row = [float(np.mean(psnrs)),
+               float(np.mean(ssims)) if ssims else float("nan"),
+               float(np.mean(wssims)) if wssims else float("nan"),
+               float(np.mean(l_alex)) if l_alex else float("nan"),
+               float(np.mean(l_vgg)) if l_vgg else float("nan")]
         np.savetxt(os.path.join(save_path, f"{prefix}mean.txt"), np.asarray(row))
         # machine-stable schema: fixed keys, null where the metric is
-        # unavailable in this environment (mean.txt's row length varies
-        # with lpips availability; downstream tooling should read this)
+        # unavailable in this environment
         summary = {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)) if ssims else None,

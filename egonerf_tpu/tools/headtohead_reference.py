@@ -162,8 +162,11 @@ def main(preset: str = "small", out_path: str = ""):
     ours = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
     params = ours.init_params(jax.random.PRNGKey(0))
     params_init = jax.tree_util.tree_map(np.asarray, params)
+    # constant lrs through pretrain — the reference's pretrain loop never
+    # decays (train.py:222-233); decay starts with the main loop
     tx = make_optimizer(params, LR_GRID, LR_NET, LR_ENVMAP_PRETRAIN,
-                        decay_target_ratio=DECAY_RATIO, decay_iters=n_iters)
+                        decay_target_ratio=1.0 if P["pretrain"] else DECAY_RATIO,
+                        decay_iters=n_iters)
     opt_state = tx.init(params)
 
     # identical ray-id stream for both frameworks (pretrain consumes the

@@ -241,12 +241,13 @@ class Trainer:
         self._sched_start = self.start_step
 
     # ------------------------------------------------------------------
-    def _build_optimizer(self, lr_scale: float, lr_envmap: Optional[float] = None):
+    def _build_optimizer(self, lr_scale: float, lr_envmap: Optional[float] = None,
+                         decay: bool = True):
         cfg = self.cfg
         self.tx = make_optimizer(
             self.params, cfg.lr_init * lr_scale, cfg.lr_basis * lr_scale,
             (lr_envmap if lr_envmap is not None else cfg.lr_envmap) * lr_scale,
-            decay_target_ratio=cfg.lr_decay_target_ratio,
+            decay_target_ratio=cfg.lr_decay_target_ratio if decay else 1.0,
             decay_iters=self.decay_iters)
         self.opt_state = self.tx.init(self.params)
         if self.multi_device:
@@ -538,6 +539,12 @@ class Trainer:
             # perturb the restored envmap — reference: train.py:218-242)
             return
         print(f"pretraining envmap for {cfg.iter_pretrain_envmap} iters")
+        # the reference's pretrain loop never touches the lrs
+        # (train.py:222-233, no per-iter decay) — hold them CONSTANT here;
+        # measured: decaying through pretrain lands the envmap at mse
+        # 0.0279 vs the reference's 0.0209 and costs ~1 dB downstream
+        self._build_optimizer(lr_scale=1.0, lr_envmap=cfg.lr_envmap_pretrain,
+                              decay=False)
         step0, key = self._device_counters(0, jax.random.PRNGKey(cfg.seed + 1))
         it = 0
         while it < cfg.iter_pretrain_envmap:

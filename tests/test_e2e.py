@@ -130,8 +130,11 @@ def test_evaluation_produces_images(trained):
     assert len(psnrs) >= 1
     assert os.path.exists(os.path.join(out_dir, "000.png"))
     assert os.path.exists(os.path.join(out_dir, "mean.txt"))
-    vals = np.loadtxt(os.path.join(out_dir, "mean.txt"))
-    assert np.isfinite(np.atleast_1d(vals)).all()
+    # fixed 5-column schema [psnr, ssim, ws_ssim, lpips_alex, lpips_vgg];
+    # lpips columns are nan when the optional weights are absent
+    vals = np.atleast_1d(np.loadtxt(os.path.join(out_dir, "mean.txt")))
+    assert vals.shape == (5,)
+    assert np.isfinite(vals[:3]).all()
 
 
 def test_multidevice_schedule_boundaries(tmp_path):

@@ -35,6 +35,55 @@ def test_envmap_pretrain_then_train(tmp_path):
                                        "pretrained_envmap.png"))
 
 
+def test_envmap_pretrain_holds_lr_constant(tmp_path, monkeypatch):
+    """The pretrain loop must hold lrs CONSTANT (the reference's pretrain
+    loop never decays, train.py:222-233; decaying through pretrain landed
+    the envmap at mse 0.0279 vs 0.0209 and cost ~1 dB downstream —
+    BASELINE.md envmap head-to-head)."""
+    from egonerf_tpu.train.optim import fast_forward_schedule
+
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name="EgoNeRF", coordinates_name="yinyang",
+        exp_sampling=True, interval_th=True, r0="0.05", resampling=True,
+        use_coarse_sample=True, n_coarse=12, n_fine=12, batch_size=256,
+        n_iters=1000, N_voxel_init=20**3, N_voxel_final=20**3,
+        n_lamb_sigma="[4,4,4]", n_lamb_sh="[8,8,8]", data_dim_color=12,
+        shadingMode="MLP_Fea", density_shift="-8", featureC=32, view_pe=2, fea_pe=2,
+        near_far="[0.05, 8.5]", basedir=str(tmp_path), expname="envlr",
+        N_vis=0, i_weights=10**7, eval_chunk=256, sparsity_lambda=0,
+        use_envmap=True, envmap_res_H=16, iter_pretrain_envmap=8,
+        lr_envmap_pretrain=0.05, steps_per_call=4,
+    ))
+    trainer = Trainer(cfg)
+
+    decay_flags = []
+    orig = Trainer._build_optimizer
+
+    def spy(self, lr_scale, lr_envmap=None, decay=True):
+        decay_flags.append(decay)
+        return orig(self, lr_scale, lr_envmap, decay)
+
+    monkeypatch.setattr(Trainer, "_build_optimizer", spy)
+    trainer.pretrain_envmap()
+    # pretrain builds a no-decay optimizer, then the post-pretrain rebuild
+    # restores the decaying one (reference: train.py:241-242)
+    assert decay_flags == [False, True]
+
+    # property check: a decay=False build steps identically at count 0 and
+    # count 1000, while the main build has decayed to ~0.1x by then
+    grads = jax.tree_util.tree_map(jnp.ones_like, trainer.params)
+
+    def envmap_step_norm(count):
+        state = fast_forward_schedule(trainer.opt_state, count)
+        upd, _ = trainer.tx.update(grads, state, trainer.params)
+        return float(jnp.linalg.norm(upd["envmap"]))
+
+    orig(trainer, 1.0, cfg.lr_envmap_pretrain, decay=False)
+    assert np.isclose(envmap_step_norm(0), envmap_step_norm(1000), rtol=1e-5)
+    orig(trainer, 1.0)
+    assert envmap_step_norm(1000) < envmap_step_norm(0) * 0.2
+
+
 def test_egonerf_upsample_schedule(tmp_path):
     """Mid-training grid upsampling: param surgery + optimizer rebuild +
     continued training without shape errors (reference: train.py:371-385)."""
