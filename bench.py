@@ -52,6 +52,25 @@ def main():
         pass
     load0 = os.getloadavg()[0]
 
+    # Fail fast (instead of hanging in device init) when the axon TPU
+    # relay is unreachable — observed dead mid-round on 2026-08-17: a
+    # client blocked in init indefinitely with zero CPU.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        import socket
+
+        probe = socket.socket()
+        probe.settimeout(3)
+        try:
+            probe.connect(("127.0.0.1", 8082))
+        except OSError as e:
+            result.update(value=0.0, vs_baseline=0.0,
+                          error=f"axon TPU relay unreachable on 127.0.0.1:8082 ({e}); "
+                                "not benchmarkable from this process")
+            print(json.dumps(result))
+            return
+        finally:
+            probe.close()
+
     import jax
 
     dev = jax.devices()[0]

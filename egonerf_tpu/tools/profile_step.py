@@ -108,6 +108,12 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
 
 
 def main():
+    # a bare directory argument means "summarize that dump" — capturing
+    # (which needs the TPU) only happens with no args at all
+    dirs = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if dirs:
+        summarize(dirs[0])
+        return
     if "--summarize-only" not in sys.argv:
         capture()
     summarize()
