@@ -204,3 +204,32 @@ def test_every_chart_trains_tensorf(tmp_path, chart):
     assert len(mses) >= 8
     assert np.isfinite(mses).all(), f"{chart}: non-finite loss {mses}"
     assert mses[-1] < mses[0], f"{chart}: mse did not fall {mses[0]} -> {mses[-1]}"
+
+
+@pytest.mark.parametrize("model_name", ["TensorVM", "TensorCP"])
+def test_tensorf_variants_train_e2e(tmp_path, model_name):
+    """TensorVM (fused planes) and TensorCP (rank-1 lines) drive the full
+    Trainer end to end, not just model-level forward/grad tests
+    (reference: models/tensoRF.py:5-124, 287-413)."""
+    import json
+
+    cfg = load_config(overrides=dict(
+        dataset_name="synthetic", model_name=model_name,
+        coordinates_name="xyz", n_coarse=12, batch_size=256,
+        n_iters=8, N_voxel_init=14**3, N_voxel_final=14**3,
+        n_lamb_sigma="[4,4,4]", n_lamb_sh="[8,8,8]", data_dim_color=12,
+        shadingMode="MLP_Fea", density_shift="-8", featureC=32,
+        view_pe=2, fea_pe=2, lr_init=0.02, sparsity_lambda=0,
+        near_far="[0.05, 8.5]", basedir=str(tmp_path),
+        expname=f"var_{model_name}",
+        N_vis=0, i_weights=10**7, eval_chunk=256, steps_per_call=4,
+        progress_refresh_rate=1,
+    ))
+    t = Trainer(cfg)
+    t.train()
+    with open(os.path.join(t.logdir, "metrics.jsonl")) as f:
+        mses = [json.loads(l)["value"] for l in f
+                if json.loads(l)["tag"] == "train/mse"]
+    assert len(mses) >= 8
+    assert np.isfinite(mses).all()
+    assert mses[-1] < mses[0], f"{model_name}: {mses[0]} -> {mses[-1]}"
