@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def _run(preset: str) -> dict:
+def _run(preset: str, resume: bool = False) -> dict:
     import numpy as np
 
     from ..data.datasets import SyntheticEgoDataset
@@ -34,6 +34,9 @@ def _run(preset: str) -> dict:
     common = dict(
         progress_refresh_rate=500, basedir="/tmp/egonerf_quality",
         expname=preset, render_test=True,
+        # checkpoint every 2000 iters so a mid-run failure (e.g. the TPU
+        # relay dying) resumes with --resume instead of starting over
+        i_weights=2000,
     )
     if preset == "refscale":
         cfg = load_config(overrides=production_overrides(
@@ -62,10 +65,12 @@ def _run(preset: str) -> dict:
     # fresh-run semantics: the trainer auto-resumes from any checkpoint in
     # the experiment folder (a feature for real runs, wrong for a quality
     # measurement — a stale checkpoint from a different preset config
-    # would be silently evaluated)
-    import shutil
+    # would be silently evaluated).  ``--resume`` keeps the folder to
+    # continue a run of the SAME preset that died mid-way.
+    if not resume:
+        import shutil
 
-    shutil.rmtree(os.path.join(cfg.basedir, cfg.expname), ignore_errors=True)
+        shutil.rmtree(os.path.join(cfg.basedir, cfg.expname), ignore_errors=True)
     trainer = Trainer(cfg)
     dsc = dict(near_far=cfg.near_far, **ds)
     trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **dsc),
@@ -81,13 +86,16 @@ def _run(preset: str) -> dict:
         "views": f"{ds['n_train']}+{ds['n_test']} @ {ds['width']}x{ds['height']}",
         "metrics": metrics,
         "final_test_psnr": round(float(np.mean(psnrs)), 3),
-        "wall_s": round(wall, 1), "artifacts": trainer.logdir,
+        # on --resume, wall_s covers only the continued tail of the run
+        "wall_s": round(wall, 1), "resumed_at": trainer.start_step or None,
+        "artifacts": trainer.logdir,
     }
 
 
 def main():
-    preset = sys.argv[1] if len(sys.argv) > 1 else "refscale"
-    rec = _run(preset)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    preset = args[0] if args else "refscale"
+    rec = _run(preset, resume="--resume" in sys.argv)
     print(json.dumps(rec, indent=1), flush=True)
     from . import write_results
 
