@@ -1,0 +1,72 @@
+"""Eval-time empty-space culling for the merged sample set.
+
+The reference gets eval speed from its alpha-mask culling (reference:
+models/tensorBase.py:464-487) — data-dependent compaction that TPU static
+shapes cannot express.  The TPU-native equivalent: the coarse density pass
+(already computed for resampling) scores every merged sample, and a
+fixed-K ``top_k`` keeps the K most important per ray — a *static*
+compaction that shrinks every downstream fine-field lookup, combine and
+shader evaluation by S/K while the dropped samples are exactly the ones
+whose coarse neighbourhood carries no volume-rendering weight.
+
+Opt-in (``eval_keep`` render flag, default off = bit-identical renders);
+an approximation by construction — dropped samples contribute their true
+(near-zero) alpha to neither color nor transmittance.  Both helpers are
+gather-free: per-(N,S)-row ``take_along_axis`` fetches are the
+pathological sub-128-byte gather path (~12-20 ns/index, BASELINE.md cost
+model), so bracketing is a broadcast-compare reduction and the compaction
+fetch is one one-hot matmul.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def coarse_importance(z_vals: jnp.ndarray, coarse_z: jnp.ndarray,
+                      coarse_weight: jnp.ndarray) -> jnp.ndarray:
+    """Score merged samples by the (dilated) coarse weight at their depth.
+
+    Args:
+      z_vals:        (N, S) merged sample depths, sorted per ray.
+      coarse_z:      (N, C) coarse sample depths, sorted per ray.
+      coarse_weight: (N, C) volume-rendering weights of the coarse pass.
+    Returns:
+      (N, S) scores: max of the coarse interval weight containing each
+      sample and its two neighbours (one-interval dilation keeps surface
+      boundaries, mirroring the reference's alpha-mask max-pool dilation,
+      reference: models/tensorBase.py:372).
+    """
+    w = coarse_weight
+    w = jnp.maximum(w, jnp.maximum(
+        jnp.concatenate([w[..., 1:], w[..., -1:]], axis=-1),
+        jnp.concatenate([w[..., :1], w[..., :-1]], axis=-1)))
+    lower = coarse_z
+    upper = jnp.concatenate(
+        [coarse_z[..., 1:], jnp.full_like(coarse_z[..., :1], jnp.inf)], axis=-1)
+    # piecewise-constant lookup as one fused broadcast-compare reduction
+    ind = ((z_vals[..., :, None] >= lower[..., None, :])
+           & (z_vals[..., :, None] < upper[..., None, :]))  # (N, S, C)
+    return jnp.sum(jnp.where(ind, w[..., None, :], 0.0), axis=-1)
+
+
+def select_top_k(z_vals: jnp.ndarray, dists: jnp.ndarray,
+                 score: jnp.ndarray, k: int):
+    """Keep the ``k`` highest-score samples per ray, depth order preserved.
+
+    Each kept sample carries its ORIGINAL interval length (the gap to the
+    next *merged* sample), so alpha compositing over the kept set treats
+    dropped intervals as empty space rather than stretching neighbours.
+
+    Returns (z_vals (N, k), dists (N, k)).
+    """
+    s = z_vals.shape[-1]
+    if k >= s:
+        return z_vals, dists
+    _, idx = jax.lax.top_k(score, k)  # (N, k)
+    idx = jnp.sort(idx, axis=-1)
+    # one-hot rows are exact 1.0, so the matmul extracts z/dist bit-exactly
+    onehot = (idx[..., None] == jnp.arange(s, dtype=idx.dtype)).astype(z_vals.dtype)
+    sel = jnp.einsum("nks,nsc->nkc", onehot,
+                     jnp.stack([z_vals, dists], axis=-1))
+    return sel[..., 0], sel[..., 1]

@@ -231,7 +231,8 @@ class Trainer:
             self.model, chunk=cfg.eval_chunk, mesh=self.mesh if self.multi_device else None,
             n_coarse=cfg.n_coarse, n_fine=(cfg.n_fine if cfg.resampling else 0),
             exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-            use_coarse_sample=cfg.use_coarse_sample, white_bg=self.white_bg)
+            use_coarse_sample=cfg.use_coarse_sample, white_bg=self.white_bg,
+            eval_keep=cfg.eval_keep)
 
         self._step_cache = {}
         self.lr_factor = cfg.lr_decay_target_ratio ** (1.0 / self.decay_iters)
@@ -772,7 +773,8 @@ def render_test(cfg: Config):
                         n_fine=(cfg.n_fine if cfg.resampling else 0),
                         exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
                         use_coarse_sample=cfg.use_coarse_sample,
-                        white_bg=test_dataset.white_bg)
+                        white_bg=test_dataset.white_bg,
+                        eval_keep=cfg.eval_keep)
     out_dir = os.path.join(logdir, "evaluation")
     return evaluation(test_dataset, model, params, renderer, save_path=out_dir,
                       n_vis=-1, compute_extra_metrics=True)

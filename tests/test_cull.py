@@ -1,0 +1,127 @@
+"""Eval-time empty-space cull (ops/cull.py, `eval_keep` render flag).
+
+The static top-K compaction must (a) reduce exactly to the default path
+when it keeps everything, (b) match a plain numpy selection, and (c) on a
+converged field, render within a tight PSNR of the uncompacted image —
+the reference's alpha-mask culling makes the same near-zero-contribution
+bet (reference: models/tensorBase.py:464-487)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonerf_tpu.coords.yinyang import YinYangSphericalCoords
+from egonerf_tpu.models.egonerf import EgoNeRF, FieldConfig
+from egonerf_tpu.ops.cull import coarse_importance, select_top_k
+
+AABB = np.array([[-4.0, -4.0, -4.0], [4.0, 4.0, 4.0]], np.float32)
+
+
+def make_model():
+    coords = YinYangSphericalCoords(AABB, exp_r=True, N_voxel=32**3, r0=0.05,
+                                    interval_th=True)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                      app_dim=12, view_pe=2, fea_pe=2, feature_c=32)
+    model = EgoNeRF(AABB, coords.resolution, coords, cfg, near_far=(0.05, 4.0))
+    return model, model.init_params(jax.random.PRNGKey(0))
+
+
+def random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-0.2, 0.2, size=(n, 3)).astype(np.float32)
+    return jnp.asarray(np.concatenate([o, d], -1))
+
+
+def test_select_top_k_matches_numpy():
+    rng = np.random.default_rng(1)
+    n, s, k = 16, 24, 7
+    z = np.sort(rng.uniform(0, 10, size=(n, s)).astype(np.float32), axis=-1)
+    d = rng.uniform(0.01, 0.2, size=(n, s)).astype(np.float32)
+    score = rng.uniform(size=(n, s)).astype(np.float32)
+    zk, dk = select_top_k(jnp.asarray(z), jnp.asarray(d), jnp.asarray(score), k)
+    for i in range(n):
+        keep = np.sort(np.argsort(score[i])[::-1][:k])
+        np.testing.assert_array_equal(np.asarray(zk)[i], z[i, keep])
+        np.testing.assert_array_equal(np.asarray(dk)[i], d[i, keep])
+
+
+def test_select_top_k_keep_all_is_identity():
+    rng = np.random.default_rng(2)
+    z = np.sort(rng.uniform(0, 10, size=(4, 12)).astype(np.float32), axis=-1)
+    d = rng.uniform(0.01, 0.2, size=(4, 12)).astype(np.float32)
+    score = rng.uniform(size=(4, 12)).astype(np.float32)
+    for k in (12, 20):
+        zk, dk = select_top_k(jnp.asarray(z), jnp.asarray(d), jnp.asarray(score), k)
+        np.testing.assert_array_equal(np.asarray(zk), z)
+        np.testing.assert_array_equal(np.asarray(dk), d)
+
+
+def test_coarse_importance_is_dilated_interval_weight():
+    coarse_z = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    w = jnp.asarray([[0.0, 5.0, 0.0, 0.0]])
+    z = jnp.asarray([[1.1, 2.5, 3.5, 4.5]])
+    score = np.asarray(coarse_importance(z, coarse_z, w))
+    # one-interval dilation: [1,2) and [3,4) see the neighbouring 5.0;
+    # beyond-the-last-edge samples fall in the clamped final interval
+    np.testing.assert_allclose(score, [[5.0, 5.0, 5.0, 0.0]])
+
+
+def test_eval_keep_near_exact_on_concentrated_field():
+    """The cull's contract: when volume-rendering weight is concentrated
+    (a converged opaque scene — the regime the reference's alpha-mask cull
+    also bets on), dropping the scored-empty samples barely moves the
+    render.  Build an everywhere-opaque field (weight all on the first
+    sample or two of every ray) and check a 2x cull is near-exact."""
+    model, params = make_model()
+    params = dict(params)
+    params["density_planes"] = [jnp.full_like(p, 1.3)
+                                for p in params["density_planes"]]
+    params["density_lines"] = [jnp.full_like(l, 1.3)
+                               for l in params["density_lines"]]
+    rays = random_rays(128, seed=3)
+
+    full = model.forward(params, rays, key=None, is_train=False,
+                         n_coarse=32, n_fine=32)
+    half = model.forward(params, rays, key=None, is_train=False,
+                         n_coarse=32, n_fine=32, eval_keep=32)
+    assert half["rgb"].shape == full["rgb"].shape
+    assert half["alpha"].shape[-1] == 32  # compacted sample axis
+    # the opaque field concentrates ~all weight in the first samples,
+    # which the coarse scoring must keep
+    mse = float(jnp.mean((half["rgb"] - full["rgb"]) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 45.0, f"cull-vs-full psnr {psnr:.2f}"
+    assert float(jnp.max(jnp.abs(half["depth"] - full["depth"]))) < 0.05
+
+
+def test_eval_keep_all_matches_default_path_exactly():
+    model, params = make_model()
+    rays = random_rays(64, seed=5)
+    a = model.forward(params, rays, key=None, is_train=False, n_coarse=16, n_fine=16)
+    b = model.forward(params, rays, key=None, is_train=False, n_coarse=16, n_fine=16,
+                      eval_keep=32)  # == merged sample count -> identity
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
+def test_eval_keep_ignored_during_training():
+    model, params = make_model()
+    rays = random_rays(32, seed=6)
+    a = model.forward(params, rays, key=jax.random.PRNGKey(7), is_train=True,
+                      n_coarse=16, n_fine=16)
+    b = model.forward(params, rays, key=jax.random.PRNGKey(7), is_train=True,
+                      n_coarse=16, n_fine=16, eval_keep=8)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+    assert b["alpha"].shape[-1] == 32
+
+
+def test_renderer_passes_eval_keep_through():
+    from egonerf_tpu.render.renderer import Renderer
+
+    model, params = make_model()
+    renderer = Renderer(model, chunk=32, n_coarse=16, n_fine=16,
+                        exp_sampling=True, resampling=True,
+                        use_coarse_sample=True, eval_keep=16)
+    out = renderer.render_rays(params, np.asarray(random_rays(70, seed=8)))
+    assert out["rgb"].shape == (70, 3)
+    assert np.isfinite(out["rgb"]).all()
