@@ -22,7 +22,8 @@ import sys
 import time
 
 
-def _run(logdir: str, keeps, n_repeats: int = 2) -> dict:
+def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
+         n_test: int = 2, height: int = 1000, width: int = 2000) -> dict:
     import numpy as np
     import jax
 
@@ -39,8 +40,8 @@ def _run(logdir: str, keeps, n_repeats: int = 2) -> dict:
     if not ckpt_path or not os.path.exists(ckpt_path):
         raise SystemExit(f"no checkpoint under {logdir}")
 
-    test_ds = SyntheticEgoDataset(split="test", is_stack=True, n_train=12,
-                                  n_test=2, height=1000, width=2000,
+    test_ds = SyntheticEgoDataset(split="test", is_stack=True, n_train=n_train,
+                                  n_test=n_test, height=height, width=width,
                                   near_far=cfg.near_far)
     _, header, _ = load_checkpoint(ckpt_path)
     coords = coords_from_spec(header["coords_spec"])

@@ -104,3 +104,35 @@ def test_synthetic_env_background_mode():
     # wall mode is unchanged: every ray terminates at finite depth
     _, _, d_wall = render_views(poses, 20, 40, background="wall")
     assert (d_wall > 0).all() and np.isfinite(d_wall).all()
+
+
+def test_eval_bench_runs_from_checkpoint(tmp_path):
+    """tools/eval_bench: restore a real checkpoint, sweep eval_keep, report
+    timing + PSNR-vs-full rows (the TPU ablation driver, CPU-smoke here)."""
+    from egonerf_tpu.data.datasets import SyntheticEgoDataset
+    from egonerf_tpu.tools import eval_bench
+    from egonerf_tpu.train.config import load_config
+    from egonerf_tpu.train.trainer import Trainer
+
+    cfg = load_config(overrides=dict(
+        expname="eb", basedir=str(tmp_path), model_name="EgoNeRF",
+        coordinates_name="yinyang", exp_sampling=True, interval_th=True,
+        r0=0.05, resampling=True, use_coarse_sample=True,
+        dataset_name="synthetic", n_iters=20, batch_size=256,
+        n_coarse=16, n_fine=16, N_voxel_init=27_000, N_voxel_final=27_000,
+        n_lamb_sigma=[4, 4, 4], n_lamb_sh=[8, 8, 8],
+        near_far=[0.05, 8.5], sparsity_lambda=0.0,
+        N_vis=0, vis_list=[10**9], i_weights=10**9, steps_per_call=2,
+        progress_refresh_rate=10, eval_chunk=2048))
+    trainer = Trainer(cfg)
+    ds = dict(near_far=cfg.near_far, n_train=2, n_test=1, height=40, width=80)
+    trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **ds),
+                         SyntheticEgoDataset(split="test", is_stack=True, **ds))
+    trainer.train()
+
+    rec = eval_bench._run(str(tmp_path / "eb"), keeps=[0, 16], n_repeats=1,
+                          n_train=2, n_test=1, height=40, width=80)
+    rows = {r["eval_keep"]: r for r in rec["rows"]}
+    assert rows[0]["psnr_vs_full"] is None and rows[0]["psnr_vs_gt"] > 0
+    assert rows[16]["psnr_vs_full"] is not None
+    assert rows[16]["sec_per_image"] > 0
