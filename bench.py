@@ -34,6 +34,10 @@ import time
 
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+# ablation-only: train-time top-K cull (ops/cull.py).  The headline stays
+# at 0 = the reference's full 256-evals/ray semantics; nonzero values are
+# recorded in the output so an ablation run can't pass as the headline.
+TRAIN_KEEP = int(os.environ.get("BENCH_TRAIN_KEEP", 0))
 SANITY_FLOOR = 9_000.0  # rays/s; below this the host/TPU was degraded
 
 WARMUP_ITERS = 96
@@ -90,8 +94,10 @@ def main():
         n_iters=WARMUP_ITERS, progress_refresh_rate=10**9,
         basedir="/tmp/egonerf_bench", expname="bench", N_vis=0,
         vis_list="[1000000000]", steps_per_call=STEPS_PER_CALL,
-        compute_dtype=COMPUTE_DTYPE,
+        compute_dtype=COMPUTE_DTYPE, train_keep=TRAIN_KEEP,
     ))
+    if TRAIN_KEEP:
+        result["train_keep"] = TRAIN_KEEP
 
     log = io.StringIO()
     with contextlib.redirect_stdout(log):

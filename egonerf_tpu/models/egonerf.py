@@ -341,17 +341,23 @@ class EgoNeRF:
     def forward(self, params, rays, key=None, is_train=False, n_coarse=128,
                 n_fine=128, exp_sampling=True, resampling=True,
                 use_coarse_sample=True, pretrain_envmap=False, white_bg=True,
-                ndc_ray=False, eval_keep=0, **_):
+                ndc_ray=False, eval_keep=0, train_keep=0, **_):
         """Render a (R, 6) ray batch.
 
         Returns dict(rgb, depth, bg, env, alpha).  ``key`` enables jitter +
         stochastic pdf draws; pass None for deterministic eval.
 
-        ``eval_keep`` > 0 enables the opt-in eval-time empty-space cull
-        (ops/cull.py): the coarse pass scores the merged samples and only
-        the top ``eval_keep`` per ray reach the fine field — the static-
-        shape analog of the reference's alpha-mask compaction (reference:
-        models/tensorBase.py:464-487).  Ignored during training.
+        ``eval_keep``/``train_keep`` > 0 enable the opt-in empty-space
+        cull (ops/cull.py) at eval/train time respectively: the coarse
+        pass scores the merged samples and only the top K per ray reach
+        the fine field — the static-shape analog of the reference's
+        alpha-mask compaction (reference: models/tensorBase.py:464-487).
+        The culled depths/dists are constants w.r.t. parameters (the
+        coarse grid is derived under stop_gradient, fine_z is detached),
+        so training gradients flow exactly as if the dropped samples had
+        zero density.  Defaults 0 keep reference semantics bit-identical;
+        ``train_keep`` is a measured deviation — see BASELINE.md for the
+        production-shape quality A/B before enabling it.
         """
         if ndc_ray:
             raise NotImplementedError(
@@ -402,11 +408,12 @@ class EgoNeRF:
 
             dists = jnp.diff(z_vals, axis=-1)
             dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
-            if eval_keep and not is_train and eval_keep < z_vals.shape[-1]:
+            keep = int(train_keep if is_train else eval_keep)
+            if keep and keep < z_vals.shape[-1]:
                 from ..ops.cull import coarse_importance, select_top_k
 
                 score = coarse_importance(z_vals, coarse_z, c_weight)
-                z_vals, dists = select_top_k(z_vals, dists, score, int(eval_keep))
+                z_vals, dists = select_top_k(z_vals, dists, score, keep)
             xyz = rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
             norm = self.coordinates.normalize_coord(self.coordinates.from_cartesian(xyz))
         else:

@@ -160,10 +160,12 @@ class Config:
     # ms/step in-situ (BENCH_QUICK r3).
     steps_per_call: int = 48
     device_sampling: bool = True  # draw ray ids inside the compiled step
-    # eval-time empty-space cull: keep the K most important merged samples
-    # per ray (scored by the coarse pass, ops/cull.py); 0 = off (renders
-    # bit-identical to the reference semantics)
+    # empty-space cull: keep the K most important merged samples per ray
+    # (scored by the coarse pass, ops/cull.py); 0 = off (bit-identical to
+    # the reference semantics).  eval_keep affects rendering only;
+    # train_keep is a measured training deviation (BASELINE.md A/B).
     eval_keep: int = 0
+    train_keep: int = 0
 
 
 _FIELDS = {f.name: f for f in dataclasses.fields(Config)}

@@ -317,7 +317,8 @@ class Trainer:
                     p, rays, key=key, is_train=True, n_coarse=cfg.n_coarse,
                     n_fine=cfg.n_fine, exp_sampling=cfg.exp_sampling,
                     resampling=resampling, use_coarse_sample=cfg.use_coarse_sample,
-                    white_bg=self.white_bg, ndc_ray=bool(cfg.ndc_ray))
+                    white_bg=self.white_bg, ndc_ray=bool(cfg.ndc_ray),
+                    train_keep=cfg.train_keep)
                 mse = jnp.mean((out["rgb"] - rgbs) ** 2)
                 total = mse
                 if cfg.sparsity_lambda > 0:

@@ -125,3 +125,79 @@ def test_renderer_passes_eval_keep_through():
     out = renderer.render_rays(params, np.asarray(random_rays(70, seed=8)))
     assert out["rgb"].shape == (70, 3)
     assert np.isfinite(out["rgb"]).all()
+
+
+def test_train_keep_all_matches_default_exactly():
+    model, params = make_model()
+    rays = random_rays(48, seed=9)
+    key = jax.random.PRNGKey(10)
+    a = model.forward(params, rays, key=key, is_train=True, n_coarse=16, n_fine=16)
+    b = model.forward(params, rays, key=key, is_train=True, n_coarse=16, n_fine=16,
+                      train_keep=32)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
+def test_train_keep_gradients_flow_and_optimize():
+    """With a 25% train-time cull the step must still reach every parameter
+    group and drive the loss down (the selection indices are integer —
+    gradients flow through the kept samples only)."""
+    import optax
+
+    model, params = make_model()
+    rays = random_rays(128, seed=11)
+    d = np.asarray(rays[:, 3:6])
+    target = jnp.asarray((d * 0.5 + 0.5).astype(np.float32))
+
+    def loss_fn(p, key):
+        out = model.forward(p, rays, key=key, is_train=True,
+                            n_coarse=32, n_fine=32, train_keep=48)
+        assert out["alpha"].shape[-1] == 48
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    grads = jax.grad(loss_fn)(params, jax.random.PRNGKey(12))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(grads["density_planes"][0]).sum()) > 0
+    assert float(jnp.abs(grads["app_planes"][0]).sum()) > 0
+    assert float(jnp.abs(grads["shader"]["l1"]["w"]).sum()) > 0
+
+    opt = optax.adam(2e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, key):
+        loss, g = jax.value_and_grad(loss_fn)(p, key)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    key = jax.random.PRNGKey(13)
+    first = None
+    for _ in range(120):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first / 3, f"loss {first} -> {float(loss)}"
+
+
+def test_trainer_runs_with_train_keep(tmp_path):
+    """The full Trainer drives a culled step end to end (config plumb)."""
+    from egonerf_tpu.data.datasets import SyntheticEgoDataset
+    from egonerf_tpu.train.config import load_config
+    from egonerf_tpu.train.trainer import Trainer
+
+    cfg = load_config(overrides=dict(
+        expname="tk", basedir=str(tmp_path), model_name="EgoNeRF",
+        coordinates_name="yinyang", exp_sampling=True, interval_th=True,
+        r0=0.05, resampling=True, use_coarse_sample=True,
+        dataset_name="synthetic", n_iters=12, batch_size=256,
+        n_coarse=16, n_fine=16, N_voxel_init=27_000, N_voxel_final=27_000,
+        n_lamb_sigma=[4, 4, 4], n_lamb_sh=[8, 8, 8],
+        near_far=[0.05, 8.5], sparsity_lambda=0.0,
+        N_vis=0, vis_list=[10**9], i_weights=10**9, steps_per_call=3,
+        progress_refresh_rate=6, eval_chunk=2048, train_keep=24))
+    trainer = Trainer(cfg)
+    ds = dict(near_far=cfg.near_far, n_train=2, n_test=1, height=40, width=80)
+    trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **ds),
+                         SyntheticEgoDataset(split="test", is_stack=True, **ds))
+    trainer.train()  # must not raise; losses (incl. entropy on K) all run
