@@ -9,6 +9,10 @@ compaction that shrinks every downstream fine-field lookup, combine and
 shader evaluation by S/K while the dropped samples are exactly the ones
 whose coarse neighbourhood carries no volume-rendering weight.
 
+Occupancy-scored sample pruning is established NeRF practice (NerfAcc,
+arXiv 2305.04966; Instant-NGP's occupancy grids); the novelty here is
+only the static-shape TPU formulation.
+
 Opt-in (``eval_keep`` render flag, default off = bit-identical renders);
 an approximation by construction — dropped samples contribute their true
 (near-zero) alpha to neither color nor transmittance.  Both helpers are
