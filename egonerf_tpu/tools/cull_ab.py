@@ -21,6 +21,9 @@ from . import sampler_ab
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     keeps = [int(k) for k in args[0].split(",")] if args else [192, 128]
 

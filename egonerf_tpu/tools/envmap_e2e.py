@@ -24,6 +24,9 @@ N_TRAIN, N_TEST = 12, 2
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     import numpy as np
 
     from ..data.datasets import SyntheticEgoDataset

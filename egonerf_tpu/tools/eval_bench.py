@@ -92,6 +92,9 @@ def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     logdir = args[0] if args else "/tmp/egonerf_quality/refscale"
     keeps = ([int(k) for k in args[1].split(",")] if len(args) > 1

@@ -18,6 +18,9 @@ from . import sampler_ab
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     rec = sampler_ab.run_variant("device_uniform_f32", "simple", True,
                                  compute_dtype="float32")
     print(json.dumps(rec), flush=True)

@@ -342,4 +342,7 @@ def main(preset: str = "small", out_path: str = ""):
 
 
 if __name__ == "__main__":
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     main(*sys.argv[1:])

@@ -91,6 +91,9 @@ def ray_coherent_coords(seed: int = 0):
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', dev)}")
     rng = jax.random.PRNGKey(0)

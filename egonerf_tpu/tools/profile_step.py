@@ -108,6 +108,9 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     # a bare directory argument means "summarize that dump" — capturing
     # (which needs the TPU) only happens with no args at all
     dirs = [a for a in sys.argv[1:] if not a.startswith("-")]

@@ -93,6 +93,9 @@ def _run(preset: str, resume: bool = False) -> dict:
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     preset = args[0] if args else "refscale"
     rec = _run(preset, resume="--resume" in sys.argv)

@@ -73,6 +73,9 @@ def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     import jax
 
     dev = jax.devices()[0]

@@ -36,6 +36,9 @@ N_VOXEL = 16_777_216     # 256^3 — the quality run's final grid
 
 
 def main():
+    from . import require_tpu_relay
+
+    require_tpu_relay()
     import jax
     import jax.numpy as jnp
     import numpy as np
