@@ -56,24 +56,34 @@ def main():
         pass
     load0 = os.getloadavg()[0]
 
-    # Fail fast (instead of hanging in device init) when the axon TPU
+    # Fail *bounded* (instead of hanging in device init) when the axon TPU
     # relay is unreachable — observed dead mid-round on 2026-08-17: a
-    # client blocked in init indefinitely with zero CPU.
+    # client blocked in init indefinitely with zero CPU.  The relay has
+    # also returned after outages, so poll for up to BENCH_RELAY_WAIT_S
+    # (default 10 min) before declaring the run unbenchmarkable.
     if os.environ.get("JAX_PLATFORMS", "") == "axon":
         import socket
 
-        probe = socket.socket()
-        probe.settimeout(3)
-        try:
-            probe.connect(("127.0.0.1", 8082))
-        except OSError as e:
-            result.update(value=0.0, vs_baseline=0.0,
-                          error=f"axon TPU relay unreachable on 127.0.0.1:8082 ({e}); "
-                                "not benchmarkable from this process")
-            print(json.dumps(result))
-            return
-        finally:
-            probe.close()
+        deadline = time.monotonic() + float(
+            os.environ.get("BENCH_RELAY_WAIT_S", 600))
+        while True:
+            probe = socket.socket()
+            probe.settimeout(3)
+            try:
+                probe.connect(("127.0.0.1", 8082))
+                break
+            except OSError as e:
+                if time.monotonic() >= deadline:
+                    result.update(
+                        value=0.0, vs_baseline=0.0,
+                        error="axon TPU relay unreachable on 127.0.0.1:8082 "
+                              f"({e}) after waiting {os.environ.get('BENCH_RELAY_WAIT_S', 600)}s; "
+                              "not benchmarkable from this process")
+                    print(json.dumps(result))
+                    return
+                time.sleep(15)
+            finally:
+                probe.close()
 
     import jax
 

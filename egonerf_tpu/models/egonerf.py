@@ -410,9 +410,16 @@ class EgoNeRF:
             dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
             keep = int(train_keep if is_train else eval_keep)
             if keep and keep < z_vals.shape[-1]:
-                from ..ops.cull import coarse_importance, select_top_k
+                from ..ops.cull import (coarse_importance, select_top_k,
+                                        train_tiebreak)
 
                 score = coarse_importance(z_vals, coarse_z, c_weight)
+                if is_train and key is not None:
+                    # randomize which EMPTY samples survive each step (see
+                    # ops/cull.py:train_tiebreak); fold_in leaves the
+                    # k_coarse/k_pdf streams — and therefore the
+                    # train_keep=0 path — bit-identical
+                    score = train_tiebreak(score, jax.random.fold_in(key, 2))
                 z_vals, dists = select_top_k(z_vals, dists, score, keep)
             xyz = rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
             norm = self.coordinates.normalize_coord(self.coordinates.from_cartesian(xyz))

@@ -54,6 +54,25 @@ def coarse_importance(z_vals: jnp.ndarray, coarse_z: jnp.ndarray,
     return jnp.sum(jnp.where(ind, w[..., None, :], 0.0), axis=-1)
 
 
+def train_tiebreak(score: jnp.ndarray, key: jax.Array,
+                   eps: float = 1e-4) -> jnp.ndarray:
+    """Randomize the top-K tie-break among ~zero-score samples.
+
+    ``lax.top_k`` resolves ties to the LOWEST index, so a noiseless
+    train-time cull keeps the same near-camera empty samples every step
+    and never re-exposes farther culled space to gradient — the
+    occupancy-cull dead zone (NerfAcc counters it with periodic
+    randomized occupancy refresh).  Adding per-step uniform noise in
+    [0, eps) randomizes the ordering of sub-``eps`` scores only; ``eps``
+    defaults to the reference's ray-march weight threshold
+    (rayMarch_weight_thres=1e-4, reference: models/tensorBase.py:136,482),
+    so every interval the reference itself would shade keeps strict
+    priority over every interval it would mask out.
+    """
+    return score + eps * jax.random.uniform(key, score.shape,
+                                            dtype=score.dtype)
+
+
 def select_top_k(z_vals: jnp.ndarray, dists: jnp.ndarray,
                  score: jnp.ndarray, k: int):
     """Keep the ``k`` highest-score samples per ray, depth order preserved.

@@ -127,6 +127,40 @@ def test_renderer_passes_eval_keep_through():
     assert np.isfinite(out["rgb"]).all()
 
 
+def test_train_tiebreak_rotates_empties_keeps_surfaces():
+    """The per-step tie-break (ops/cull.py:train_tiebreak) must (a) leave
+    every above-threshold score's top-K membership untouched for any key,
+    and (b) vary WHICH zero-score samples survive across steps — the
+    anti-dead-zone property (a noiseless cull would keep the same
+    lowest-index empties forever)."""
+    from egonerf_tpu.ops.cull import train_tiebreak
+
+    n, s, k = 64, 32, 8
+    rng = np.random.default_rng(20)
+    score = np.zeros((n, s), np.float32)
+    surf = rng.integers(0, s, size=(n, 4))  # 4 "surface" samples per ray
+    for i in range(n):
+        score[i, surf[i]] = rng.uniform(0.01, 0.5, size=4)
+    score = jnp.asarray(score)
+
+    kept_sets = []
+    for seed in range(6):
+        noisy = train_tiebreak(score, jax.random.PRNGKey(seed))
+        _, idx = jax.lax.top_k(noisy, k)
+        idx = np.asarray(idx)
+        # (a) every nonzero-score sample still selected
+        for i in range(n):
+            assert set(np.unique(surf[i])) <= set(idx[i])
+        kept_sets.append(idx)
+    # (b) the empty-sample complement rotates with the key
+    assert any(not np.array_equal(kept_sets[0], kept_sets[j])
+               for j in range(1, 6))
+    # determinism: same key -> same selection
+    again = train_tiebreak(score, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(jax.lax.top_k(again, k)[1]),
+                                  kept_sets[0])
+
+
 def test_train_keep_all_matches_default_exactly():
     model, params = make_model()
     rays = random_rays(48, seed=9)
