@@ -57,33 +57,18 @@ def main():
     load0 = os.getloadavg()[0]
 
     # Fail *bounded* (instead of hanging in device init) when the axon TPU
-    # relay is unreachable — observed dead mid-round on 2026-08-17: a
-    # client blocked in init indefinitely with zero CPU.  The relay has
-    # also returned after outages, so poll for up to BENCH_RELAY_WAIT_S
-    # (default 10 min) before declaring the run unbenchmarkable.
-    if os.environ.get("JAX_PLATFORMS", "") == "axon":
-        import socket
+    # relay is unreachable — a dead relay blocks clients in init at zero
+    # CPU, but outages have also ended on their own, so poll for up to
+    # BENCH_RELAY_WAIT_S (default 10 min) before declaring the run
+    # unbenchmarkable (shared guard: egonerf_tpu/tools/relay_ready).
+    from egonerf_tpu.tools import relay_ready
 
-        deadline = time.monotonic() + float(
-            os.environ.get("BENCH_RELAY_WAIT_S", 600))
-        while True:
-            probe = socket.socket()
-            probe.settimeout(3)
-            try:
-                probe.connect(("127.0.0.1", 8082))
-                break
-            except OSError as e:
-                if time.monotonic() >= deadline:
-                    result.update(
-                        value=0.0, vs_baseline=0.0,
-                        error="axon TPU relay unreachable on 127.0.0.1:8082 "
-                              f"({e}) after waiting {os.environ.get('BENCH_RELAY_WAIT_S', 600)}s; "
-                              "not benchmarkable from this process")
-                    print(json.dumps(result))
-                    return
-                time.sleep(15)
-            finally:
-                probe.close()
+    relay_err = relay_ready(float(os.environ.get("BENCH_RELAY_WAIT_S", 600)))
+    if relay_err:
+        result.update(value=0.0, vs_baseline=0.0,
+                      error=f"{relay_err}; not benchmarkable from this process")
+        print(json.dumps(result))
+        return
 
     import jax
 

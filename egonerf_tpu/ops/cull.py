@@ -62,15 +62,17 @@ def train_tiebreak(score: jnp.ndarray, key: jax.Array,
     train-time cull keeps the same near-camera empty samples every step
     and never re-exposes farther culled space to gradient — the
     occupancy-cull dead zone (NerfAcc counters it with periodic
-    randomized occupancy refresh).  Adding per-step uniform noise in
-    [0, eps) randomizes the ordering of sub-``eps`` scores only; ``eps``
-    defaults to the reference's ray-march weight threshold
-    (rayMarch_weight_thres=1e-4, reference: models/tensorBase.py:136,482),
-    so every interval the reference itself would shade keeps strict
-    priority over every interval it would mask out.
+    randomized occupancy refresh).  Scores below ``eps`` — the
+    reference's ray-march weight threshold (rayMarch_weight_thres=1e-4,
+    reference: models/tensorBase.py:136,482), i.e. exactly the samples
+    the reference's ``app_mask`` would mask out — are replaced by pure
+    per-step noise in [0, eps); scores >= ``eps`` are shifted by +``eps``
+    (order-preserving, now all >= 2*eps).  Every interval the reference
+    would shade therefore keeps STRICT priority over every interval it
+    would mask, and the survivors among the masked rotate each step.
     """
-    return score + eps * jax.random.uniform(key, score.shape,
-                                            dtype=score.dtype)
+    u = jax.random.uniform(key, score.shape, dtype=score.dtype)
+    return jnp.where(score < eps, eps * u, score + eps)
 
 
 def select_top_k(z_vals: jnp.ndarray, dists: jnp.ndarray,
@@ -88,8 +90,11 @@ def select_top_k(z_vals: jnp.ndarray, dists: jnp.ndarray,
         return z_vals, dists
     _, idx = jax.lax.top_k(score, k)  # (N, k)
     idx = jnp.sort(idx, axis=-1)
-    # one-hot rows are exact 1.0, so the matmul extracts z/dist bit-exactly
+    # one-hot rows are exact 1.0 and Precision.HIGHEST keeps the MXU from
+    # truncating the f32 value operand to bf16 (the TPU default), so the
+    # matmul extracts z/dist bit-exactly
     onehot = (idx[..., None] == jnp.arange(s, dtype=idx.dtype)).astype(z_vals.dtype)
     sel = jnp.einsum("nks,nsc->nkc", onehot,
-                     jnp.stack([z_vals, dists], axis=-1))
+                     jnp.stack([z_vals, dists], axis=-1),
+                     precision=jax.lax.Precision.HIGHEST)
     return sel[..., 0], sel[..., 1]

@@ -113,7 +113,10 @@ def _lpips_pair(params, im0, im1, net: str = "alex"):
     feats = _backbone_feats(net, params, x)
     total = 0.0
     for f, lin in zip(feats, params["lins"]):
-        f = f / jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-10)
+        # lpips v0.1 normalize_tensor: x / (sqrt(sum x^2) + eps) — eps is
+        # OUTSIDE the sqrt (for near-dead feature columns the two forms
+        # differ by up to ~30%, so the placement matters for parity)
+        f = f / (jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True)) + 1e-10)
         d = (f[0] - f[1]) ** 2
         # 1x1 non-negative head + spatial average (lpips spatial=False)
         total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
@@ -127,9 +130,13 @@ def rgb_lpips_jax(np_gt: np.ndarray, np_im: np.ndarray,
                   net: str = "alex") -> Optional[float]:
     """LPIPS from the local weights file; None when no weights are found."""
     if net not in _PARAM_CACHE:
-        _PARAM_CACHE[net] = load_lpips_params(net)
+        params = load_lpips_params(net)
+        if params is None:
+            # don't cache the miss: a weights file exported later in the
+            # same process (the "day a file appears" contract) must be
+            # picked up on the next call
+            return None
+        _PARAM_CACHE[net] = params
     params = _PARAM_CACHE[net]
-    if params is None:
-        return None
     return float(_lpips_pair(params, jnp.asarray(np_gt, jnp.float32),
                              jnp.asarray(np_im, jnp.float32), net=net))

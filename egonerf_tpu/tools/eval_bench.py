@@ -55,6 +55,13 @@ def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
     gt = np.asarray(test_ds.all_rgbs[0]).reshape(h, w, 3)
     n_rays = h * w
 
+    # the uncompacted render (keep=0) is the reference every other row's
+    # psnr_vs_full is scored against, so it always runs and always runs
+    # FIRST — regardless of the order (or absence) of 0 in the sweep list
+    keeps = sorted(dict.fromkeys(int(k) for k in keeps), key=lambda k: k != 0)
+    if keeps[:1] != [0]:
+        keeps.insert(0, 0)
+
     rows = []
     rgb_full = None
     for keep in keeps:

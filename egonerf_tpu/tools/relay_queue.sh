@@ -11,7 +11,10 @@
 #   4. quality_run refscale    — the 10k quality re-run under round-3 numerics
 #   5. full bench.py           — headline record after any default changes
 #
-# Usage: nohup bash egonerf_tpu/tools/relay_queue.sh > /tmp/relayqueue/watch.log 2>&1 &
+# Usage: mkdir -p /tmp/relayqueue && \
+#        nohup bash egonerf_tpu/tools/relay_queue.sh > /tmp/relayqueue/watch.log 2>&1 &
+# (the mkdir must happen in the INVOKING shell — it performs the redirection
+# before this script's own mkdir runs)
 set -u
 cd /root/repo
 mkdir -p /tmp/relayqueue

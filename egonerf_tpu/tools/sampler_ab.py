@@ -50,6 +50,16 @@ def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
     from ..train.trainer import Trainer
 
     cfg = make_config(name, method, device_sampling, **extra)
+    # fresh run, always: the Trainer auto-resumes from the newest
+    # checkpoint in the logdir, so a leftover completed run of the same
+    # variant name would skip training entirely and re-report the OLD
+    # code's metrics.jsonl as this A/B's result (same guard as
+    # quality_run's fresh path)
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    if os.path.isdir(logdir):
+        import shutil
+
+        shutil.rmtree(logdir)
     trainer = Trainer(cfg)
     common = dict(n_train=N_TRAIN, n_test=N_TEST, height=IMG_H, width=IMG_W,
                   near_far=cfg.near_far)

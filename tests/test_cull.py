@@ -161,6 +161,25 @@ def test_train_tiebreak_rotates_empties_keeps_surfaces():
                                   kept_sets[0])
 
 
+def test_train_tiebreak_strict_priority_at_threshold():
+    """A score just ABOVE the 1e-4 ray-march threshold (reference would
+    shade it) must beat any score below it (reference would mask it) for
+    EVERY key — including sub-threshold scores close to the boundary.
+    Naive additive noise in [0, eps) violates this (0.9e-4 + noise can
+    exceed 1.5e-4 + noise); the where-form does not."""
+    from egonerf_tpu.ops.cull import train_tiebreak
+
+    score = jnp.asarray([[1.5e-4, 0.9e-4, 0.99e-4, 0.0, 1e-7, 1.0001e-4]],
+                        jnp.float32)
+    above = {0, 5}  # >= eps: shaded by the reference
+    for seed in range(32):
+        noisy = np.asarray(train_tiebreak(score, jax.random.PRNGKey(seed)))[0]
+        assert min(noisy[i] for i in above) > max(
+            noisy[j] for j in range(6) if j not in above)
+    # ordering among the above-threshold scores is preserved
+    assert noisy[0] > noisy[5]
+
+
 def test_train_keep_all_matches_default_exactly():
     model, params = make_model()
     rays = random_rays(48, seed=9)

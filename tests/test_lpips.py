@@ -60,7 +60,8 @@ def _torch_lpips(params, im0, im1, net):
                      padding=pad)
         x = F.relu(x)
         if i in taps:
-            f = x / torch.sqrt((x * x).sum(dim=1, keepdim=True) + 1e-10)
+            # lpips v0.1 normalize_tensor: eps OUTSIDE the sqrt
+            f = x / (torch.sqrt((x * x).sum(dim=1, keepdim=True)) + 1e-10)
             d = (f[0] - f[1]) ** 2
             lin = torch.from_numpy(np.asarray(params["lins"][li])).view(-1, 1, 1)
             total = total + (d * lin).sum(dim=0).mean()
