@@ -25,15 +25,33 @@ class SimpleSampler:
 class ThetaImportanceSampler:
     """Latitude-weighted pixel sampling: equirect images oversample the
     poles, so rows are drawn with weight lambda*cos(theta)+1
-    (reference: sampler.py:19-38)."""
+    (reference: sampler.py:19-38).
 
-    def __init__(self, theta_importance_lambda: float, img_len: int, img_wh,
-                 batch: int, roi, seed: int = 0):
-        self.img_len = int(img_len)
+    ``img_wh_full`` is the FULL pre-roi-crop equirect size; the sampler
+    derives the cropped per-image raster with the datasets' own slice
+    arithmetic and the image count from the flat buffer length.  This is
+    a deliberate deviation: the reference computes img_len outside from
+    ``img_wh`` and re-applies the roi crop inside the sampler
+    (reference: sampler.py:20-26, train.py:202-204), which double-crops
+    on the datasets whose ``img_wh`` is already roi-cropped
+    (dataset_omniscenes.py:14-16) — a latent misindexing its published
+    configs never hit because they all use ``sampling_method = simple``."""
+
+    def __init__(self, theta_importance_lambda: float, n_rays_total: int,
+                 img_wh_full, batch: int, roi, seed: int = 0):
         self.batch = int(batch)
-        w, h = img_wh
-        self.w = int(w * (roi[3] - roi[2]))
-        self.h = int(h * (roi[1] - roi[0]))
+        w, h = img_wh_full
+        # exact dataset slice arithmetic (datasets.py: int(r1*h)-int(r0*h)),
+        # NOT int(h*(r1-r0)) — the two differ for some fractional rois
+        self.w = int(roi[3] * w) - int(roi[2] * w)
+        self.h = int(roi[1] * h) - int(roi[0] * h)
+        if int(n_rays_total) % (self.w * self.h):
+            raise ValueError(
+                f"ray buffer length {n_rays_total} is not a multiple of the "
+                f"per-image raster {self.w}x{self.h} — theta_importance "
+                "requires the flat (img, row, col) layout (e.g. it cannot "
+                "follow a filter_ray compaction)")
+        self.img_len = int(n_rays_total) // (self.w * self.h)
         self.weight = self._get_weight(theta_importance_lambda, h, roi)
         self.rng = np.random.default_rng(seed)
 

@@ -100,7 +100,12 @@ class Renderer:
     def set_directions(self, directions: np.ndarray) -> None:
         """Install the camera-frame direction grid (h, w, 3) or (N, 3).
         On a mesh the chunk axis is sharded so every chip renders a slice
-        of each chunk."""
+        of each chunk.  Re-installing the SAME array object is a no-op —
+        evaluation() calls this per invocation, and the grid is tens of MB
+        through the slow host link."""
+        if getattr(self, "_dirs_src", None) is directions:
+            return
+        self._dirs_src = directions
         dirs = np.asarray(directions, np.float32).reshape(-1, 3)
         self._n_rays_view = dirs.shape[0]
         n_pad = pad_to_multiple(self._n_rays_view, self.chunk)

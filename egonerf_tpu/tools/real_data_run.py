@@ -67,10 +67,11 @@ def main(argv=None):
     psnrs = trainer.train()
     wall = time.time() - t0
 
-    mean_json = None
-    for cand in glob.glob(os.path.join(trainer.logdir, "*", "mean.json")):
-        mean_json = cand
-    metrics = json.load(open(mean_json)) if mean_json else None
+    # the TEST-split means are the benchmark number; with render_train on,
+    # imgs_train_all/mean.json also exists and a bare glob could win
+    cands = (glob.glob(os.path.join(trainer.logdir, "imgs_test_all", "mean.json"))
+             or glob.glob(os.path.join(trainer.logdir, "*", "mean.json")))
+    metrics = json.load(open(cands[-1])) if cands else None
 
     out = {
         "scene": scene, "collection": DATASETS[scene],

@@ -76,13 +76,37 @@ def load_checkpoint(path: str):
     return flat, header, masks
 
 
+def unflatten_params(template, flat: dict):
+    """Rebuild the parameter pytree from a flat checkpoint dict — use with
+    :func:`load_checkpoint` when the header was already needed (avoids a
+    second full read of a multi-hundred-MB file)."""
+    return _unflatten(template, flat)
+
+
 def restore_params(template, path: str):
     flat, header, masks = load_checkpoint(path)
     return _unflatten(template, flat), header, masks
 
 
+def checkpoint_step(path: str) -> int:
+    """The ``global_step`` stored in a checkpoint's header; -1 when the
+    file is not a readable checkpoint.  np.load on the zip archive reads
+    only the header member, so this is cheap even for multi-GB files."""
+    try:
+        data = np.load(path, allow_pickle=False)
+        return int(json.loads(bytes(data["__header__"]).decode())["global_step"])
+    except Exception:
+        return -1
+
+
 def latest_checkpoint(logdir: str) -> Optional[str]:
     """Newest .npz checkpoint in the log folder — the reference's implicit
-    auto-resume rule (reference: train.py:149-152)."""
-    ckpts = sorted(glob.glob(os.path.join(logdir, "*.npz")))
-    return ckpts[-1] if ckpts else None
+    auto-resume rule (reference: train.py:149-152).  Newest by stored
+    ``global_step`` (mtime as tie-break), NOT by filename: the final
+    ``{expname}.npz`` sorts lexically BEFORE every intermediate
+    ``{expname}_NNNNNN.npz`` ('.' < '_'), so a name sort would resume a
+    completed run from its last periodic snapshot and retrain the tail."""
+    ckpts = glob.glob(os.path.join(logdir, "*.npz"))
+    if not ckpts:
+        return None
+    return max(ckpts, key=lambda p: (checkpoint_step(p), os.path.getmtime(p)))

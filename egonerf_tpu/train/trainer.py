@@ -86,6 +86,17 @@ class MetricsLogger:
             self._tb.flush()
 
 
+def initial_l1_weight(cfg, start_step: int) -> float:
+    """L1 weight at ``start_step``: the initial->rest switch fires at the
+    FIRST alpha-mask update (reference: train.py:211,367), so a resumed
+    run past that point must start on the rest weight — the same class of
+    realignment as the voxel schedule's (a naive resume would keep the
+    initial weight for the whole remaining run)."""
+    lst = cfg.update_AlphaMask_list or []
+    return (cfg.L1_weight_rest if lst and start_step > lst[0]
+            else cfg.L1_weight_initial)
+
+
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -110,6 +121,12 @@ class Trainer:
         self.test_dataset = ds_cls(split="test", is_stack=True,
                                    downsample=cfg.downsample_test,
                                    skip=cfg.test_skip, **common)
+        if cfg.use_depth and self.train_dataset.all_depths is None:
+            # fail loudly: the device path would otherwise read the zero
+            # padding as depths (silent no-op supervision) and the host
+            # path would IndexError inside jit tracing
+            raise ValueError(f"use_depth=True but dataset "
+                             f"'{cfg.dataset_name}' provides no depths")
         self.near_far = self.train_dataset.near_far
         self.white_bg = self.train_dataset.white_bg
         aabb = self.train_dataset.scene_bbox
@@ -134,15 +151,15 @@ class Trainer:
         if ckpt_path:
             # auto-resume from the newest checkpoint (reference: train.py:149-160)
             print(f"resuming from {ckpt_path}")
-            from .checkpoint import load_checkpoint
+            from .checkpoint import load_checkpoint, unflatten_params
 
-            _, header, _ = load_checkpoint(ckpt_path)
+            flat, header, masks = load_checkpoint(ckpt_path)
             self.coords = coords_from_spec(header["coords_spec"])
             reso = self.coords.resolution
             self.model = build_model(cfg, aabb, reso, self.coords, self.near_far,
                                      meta=header.get("model_meta"))
             template = self.model.init_params(jax.random.PRNGKey(cfg.seed))
-            self.params, header, masks = restore_params(template, ckpt_path)
+            self.params = unflatten_params(template, flat)
             self.restore_alpha_mask(self.model, masks)
             self.start_step = int(header["global_step"])
         else:
@@ -161,10 +178,13 @@ class Trainer:
             self.params = replicate_tree(self.mesh, self.params)
 
         # -- optimizer --------------------------------------------------
+        # always built at the MAIN-loop envmap lr: pretrain_envmap builds
+        # its own pretrain-lr optimizer and rebuilds afterwards, so seeding
+        # the pretrain lr here only risked a resumed run (which skips
+        # pretraining, and with it the rebuild) training the envmap at the
+        # pretrain lr forever
         self.decay_iters = cfg.lr_decay_iters if cfg.lr_decay_iters > 0 else cfg.n_iters
-        self._build_optimizer(lr_scale=1.0,
-                              lr_envmap=(cfg.lr_envmap_pretrain
-                                         if cfg.iter_pretrain_envmap > 0 else cfg.lr_envmap))
+        self._build_optimizer(lr_scale=1.0, lr_envmap=cfg.lr_envmap)
         if self.start_step:
             self.opt_state = fast_forward_schedule(self.opt_state, self.start_step)
 
@@ -173,9 +193,14 @@ class Trainer:
         if cfg.sampling_method == "simple":
             self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
         elif cfg.sampling_method == "theta_importance":
-            img_len = n_rays_total // int(np.prod(self.train_dataset.img_wh))
+            # img_wh_origin = full pre-crop dims where the dataset crops by
+            # roi (Ricoh/OmniScenes); everywhere else img_wh IS the full
+            # size.  The sampler derives the cropped raster + image count
+            # itself (see its docstring for the reference's latent bug here)
+            full_wh = getattr(self.train_dataset, "img_wh_origin",
+                              self.train_dataset.img_wh)
             self.sampler = ThetaImportanceSampler(
-                cfg.theta_importance_lambda, img_len, self.train_dataset.img_wh,
+                cfg.theta_importance_lambda, n_rays_total, full_wh,
                 cfg.batch_size, self.train_dataset.roi, seed=cfg.seed)
         else:
             raise ValueError(f"sampling method {cfg.sampling_method} not supported")
@@ -484,15 +509,18 @@ class Trainer:
         """Swap datasets after construction (e.g. programmatic experiments):
         rebuilds the sampler, device-resident buffers and compiled steps."""
         cfg = self.cfg
+        if cfg.use_depth and train_dataset.all_depths is None:
+            raise ValueError(f"use_depth=True but dataset "
+                             f"'{cfg.dataset_name}' provides no depths")
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         n_total = train_dataset.all_rays.shape[0]
         if cfg.sampling_method == "simple":
             self.sampler = SimpleSampler(n_total, cfg.batch_size, seed=cfg.seed)
         elif cfg.sampling_method == "theta_importance":
-            img_len = n_total // int(np.prod(train_dataset.img_wh))
+            full_wh = getattr(train_dataset, "img_wh_origin", train_dataset.img_wh)
             self.sampler = ThetaImportanceSampler(
-                cfg.theta_importance_lambda, img_len, train_dataset.img_wh,
+                cfg.theta_importance_lambda, n_total, full_wh,
                 cfg.batch_size, train_dataset.roi, seed=cfg.seed)
         if self.device_data:
             cols = [train_dataset.all_rays, train_dataset.all_rgbs]
@@ -572,7 +600,7 @@ class Trainer:
 
         vis_list = set(cfg.vis_list or [])
         update_alpha_list = cfg.update_AlphaMask_list or []
-        l1_w = cfg.L1_weight_initial
+        l1_w = initial_l1_weight(cfg, self.start_step)
         step0, key = self._device_counters(self.start_step,
                                            jax.random.PRNGKey(cfg.seed + 2))
         psnrs, psnrs_test = [], [0.0]
@@ -628,7 +656,7 @@ class Trainer:
                     self.log.scalar("test/psnr", float(np.mean(psnrs_test)), iteration)
                 t_start, rays_done = time.time(), 0
 
-            if iteration % cfg.i_weights == 0 and iteration != 0:
+            if cfg.i_weights > 0 and iteration % cfg.i_weights == 0 and iteration != 0:
                 self.save(os.path.join(self.logdir, f"{cfg.expname}_{iteration:06d}.npz"),
                           iteration)
 
@@ -760,14 +788,14 @@ def render_test(cfg: Config):
         print("the ckpt path does not exist!")
         return None
 
-    from .checkpoint import load_checkpoint
+    from .checkpoint import load_checkpoint, unflatten_params
 
-    _, header, _ = load_checkpoint(ckpt_path)
+    flat, header, masks = load_checkpoint(ckpt_path)
     coords = coords_from_spec(header["coords_spec"])
     model = build_model(cfg, test_dataset.scene_bbox, coords.resolution, coords,
                         test_dataset.near_far, meta=header.get("model_meta"))
     template = model.init_params(jax.random.PRNGKey(0))
-    params, header, masks = restore_params(template, ckpt_path)
+    params = unflatten_params(template, flat)
     Trainer.restore_alpha_mask(model, masks)
 
     renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,

@@ -62,10 +62,35 @@ def test_simple_sampler_covers_everything():
     assert seen == set(range(100))
 
 
+def test_theta_importance_sampler_roi_raster():
+    """With a roi crop (the OmniScenes turtlebot convention: the dataset's
+    buffer holds int(0.9*h) rows per image) the sampler's strides must
+    match the buffer raster exactly and never index past it.  The
+    reference's sampler re-applies the roi to an already-cropped img_wh
+    (latent double-crop, reference: sampler.py:24-26) — this pins our fix."""
+    w, h, n_img = 64, 40, 3
+    roi = [0.0, 0.9, 0.0, 1.0]
+    crop_h = int(0.9 * h)  # = 36 rows per image in the flat buffer
+    n_total = n_img * crop_h * w
+    s = ThetaImportanceSampler(3.0, n_total, (w, h), batch=50000, roi=roi)
+    assert (s.w, s.h, s.img_len) == (w, crop_h, n_img)
+    ids = s.nextids()
+    assert ids.min() >= 0 and ids.max() < n_total
+    # every image (incl. the last) and every kept row is reachable
+    assert set(np.unique(ids // (w * crop_h))) == set(range(n_img))
+    assert (ids % (w * crop_h)).max() >= w * (crop_h - 1)
+    # a buffer that cannot be a flat (img, row, col) raster is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        ThetaImportanceSampler(3.0, n_total - 1, (w, h), batch=10, roi=roi)
+
+
 def test_theta_importance_sampler_prefers_equator():
     w, h = 64, 32
-    s = ThetaImportanceSampler(5.0, img_len=2, img_wh=(w, h), batch=20000,
+    s = ThetaImportanceSampler(5.0, 2 * w * h, (w, h), batch=20000,
                                roi=[0.0, 1.0, 0.0, 1.0])
+    assert s.img_len == 2
     ids = s.nextids()
     assert ids.min() >= 0 and ids.max() < 2 * w * h
     rows = (ids % (w * h)) // w
@@ -84,7 +109,7 @@ def test_device_theta_sampler_matches_host_distribution():
     from egonerf_tpu.data.samplers import make_device_id_sampler
 
     w, h, img_len, n = 64, 32, 3, 60000
-    s = ThetaImportanceSampler(5.0, img_len=img_len, img_wh=(w, h), batch=n,
+    s = ThetaImportanceSampler(5.0, img_len * w * h, (w, h), batch=n,
                                roi=[0.0, 1.0, 0.0, 1.0])
     draw = make_device_id_sampler(s, n, img_len * w * h)
     ids = np.asarray(jax.jit(draw)(jax.random.PRNGKey(0)))

@@ -86,6 +86,62 @@ def test_resume_continues_from_checkpoint(trained, tmp_path):
     t2.train()  # runs the remaining 2 iters without error
 
 
+def test_latest_checkpoint_prefers_highest_step(tmp_path):
+    """The final '{expname}.npz' sorts lexically BEFORE '{expname}_NNNNNN'
+    intermediates ('.' < '_'), so selection must go by the stored
+    global_step — a name sort would resume a completed run from its last
+    periodic snapshot and re-train (then re-evaluate) the stale tail."""
+    from egonerf_tpu.train.checkpoint import (checkpoint_step,
+                                              latest_checkpoint,
+                                              save_checkpoint)
+
+    params = {"a": np.zeros(3, np.float32)}
+    meta = dict(coords_spec={"k": 1}, model_meta={})
+    save_checkpoint(str(tmp_path / "e2e_000250.npz"), params,
+                    global_step=250, **meta)
+    save_checkpoint(str(tmp_path / "e2e.npz"), params, global_step=300, **meta)
+    assert latest_checkpoint(str(tmp_path)).endswith("e2e.npz")
+    assert checkpoint_step(str(tmp_path / "e2e_000250.npz")) == 250
+    # and the reverse: a LONGER rerun's intermediate beats a stale final
+    save_checkpoint(str(tmp_path / "e2e_000350.npz"), params,
+                    global_step=350, **meta)
+    assert latest_checkpoint(str(tmp_path)).endswith("e2e_000350.npz")
+    # non-checkpoint npz files are never preferred
+    np.savez(str(tmp_path / "zz_other.npz"), x=np.zeros(2))
+    assert latest_checkpoint(str(tmp_path)).endswith("e2e_000350.npz")
+
+
+def test_resume_schedule_realignment_helpers(tmp_path):
+    """Resume past the first alpha-mask update lands on L1_weight_rest
+    (reference switches at train.py:211,367 and never revisits it)."""
+    from egonerf_tpu.train.trainer import initial_l1_weight
+
+    cfg = tiny_cfg(tmp_path, update_AlphaMask_list="[2000,4000]",
+                   L1_weight_initial=8e-5, L1_weight_rest=4e-5)
+    assert initial_l1_weight(cfg, 0) == pytest.approx(8e-5)
+    assert initial_l1_weight(cfg, 2000) == pytest.approx(8e-5)  # re-fires in-loop
+    assert initial_l1_weight(cfg, 2001) == pytest.approx(4e-5)
+    assert initial_l1_weight(cfg, 9000) == pytest.approx(4e-5)
+    cfg0 = tiny_cfg(tmp_path, update_AlphaMask_list="[]")
+    assert initial_l1_weight(cfg0, 9000) == pytest.approx(cfg0.L1_weight_initial)
+
+
+def test_use_depth_without_depths_fails_loudly(tmp_path):
+    """use_depth=True on a depthless dataset must be a config error, not
+    silent zero-supervision (device path) or a trace-time IndexError."""
+    from egonerf_tpu.data.datasets import SyntheticEgoDataset
+
+    # the synthetic dataset HAS analytic depths, so construction succeeds...
+    t = Trainer(tiny_cfg(tmp_path, expname="nodepth", use_depth=True,
+                         depth_lambda=0.01, n_iters=1))
+    ds = dict(near_far=t.cfg.near_far, n_train=2, n_test=1, height=20, width=40)
+    train_ds = SyntheticEgoDataset(split="train", is_stack=False, **ds)
+    test_ds = SyntheticEgoDataset(split="test", is_stack=True, **ds)
+    train_ds.all_depths = None  # ...now simulate a dataset with no gt depth
+    with pytest.raises(ValueError, match="no depths"):
+        t.set_datasets(train_ds, test_ds)
+
+
 def test_multidevice_step_matches_shapes(trained):
     """The driver separately dry-runs the sharded path; here we check the
     trainer wires a mesh when >1 device is visible."""
