@@ -111,7 +111,18 @@ class OmniBlenderDataset(EgoNeRFDataset):
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
-        self.img_wh = (int(2000 / self.downsample), int(1000 / self.downsample))
+        # same cropped-img_wh convention as the Ricoh/OmniScenes loaders:
+        # img_wh is the roi raster, img_wh_origin the full frame (identical
+        # when roi is the default full frame).  The reference's omniblender
+        # loader crops rays by roi but NOT images (dataset_omniblender.py:
+        # 70-84), silently misaligning every ray/rgb pair at roi != full —
+        # a latent upstream bug its configs never hit; fixed here.
+        self.img_wh_origin = (int(2000 / self.downsample),
+                              int(1000 / self.downsample))
+        w0, h0 = self.img_wh_origin
+        r0_, r1_, c0_, c1_ = self.roi
+        self.img_wh = (int(c1_ * w0) - int(c0_ * w0),
+                       int(r1_ * h0) - int(r0_ * h0))
         self.read_meta()
         self.scene_bbox = self.get_scene_bbox()
 
@@ -119,7 +130,7 @@ class OmniBlenderDataset(EgoNeRFDataset):
         with open(os.path.join(self.root_dir, "transform.json")) as f:
             meta = json.load(f)
         self.indoor = meta.get("indoor", True)
-        w, h = self.img_wh
+        w, h = self.img_wh_origin
 
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
@@ -139,8 +150,9 @@ class OmniBlenderDataset(EgoNeRFDataset):
             c2w = np.asarray(frame["transform_matrix"], np.float32)
             img = _load_image(
                 os.path.join(self.root_dir, "images", frame["file_path"]),
-                resize_wh=self.img_wh if self.downsample != 1.0 else None,
+                resize_wh=self.img_wh_origin if self.downsample != 1.0 else None,
             )
+            img = img[int(r0_ * h) : int(r1_ * h), int(c0_ * w) : int(c1_ * w)]
             rays_o, rays_d = get_rays(directions, c2w, self.roi)
             return c2w, img.reshape(-1, 3), np.concatenate([rays_o, rays_d], -1)
 
@@ -225,9 +237,13 @@ class OmniscenesDataset(EgoNeRFDataset):
         base = os.path.dirname(self.root_dir.rstrip("/"))
         img_dir = os.path.join(base, "turtlebot_pano", room)
         pose_dir = os.path.join(base, "turtlebot_pose", room)
+        # filter BEFORE sorting: the numeric-parse key would raise on any
+        # stray file (.DS_Store, backups) in the capture directories
         key = lambda f: int(os.path.splitext(f)[0][4:])
-        img_files = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir), key=key) if f.endswith(".jpg")]
-        pose_files = [os.path.join(pose_dir, f) for f in sorted(os.listdir(pose_dir), key=key) if f.endswith(".txt")]
+        img_files = [os.path.join(img_dir, f) for f in
+                     sorted((f for f in os.listdir(img_dir) if f.endswith(".jpg")), key=key)]
+        pose_files = [os.path.join(pose_dir, f) for f in
+                      sorted((f for f in os.listdir(pose_dir) if f.endswith(".txt")), key=key)]
         assert len(img_files) == len(pose_files)
 
         if self.split == "train":
@@ -284,7 +300,9 @@ class LLFFDataset(EgoNeRFDataset):
         # "down right back" -> "right up back"
         poses = np.concatenate([poses[..., 1:2], -poses[..., :1], poses[..., 2:4]], -1)
         self.poses, self.pose_avg = center_poses(poses, np.eye(4))
-        self.poses[..., 3] /= np.abs(self.poses[..., 3]).max()
+        # SIGNED max, matching the reference exactly (dataset_llff.py:182):
+        # near/far and voxel configs are tuned against that world scale
+        self.poses[..., 3] /= self.poses[..., 3].max()
 
         self.render_path = get_spiral(self.poses, self.near_fars, n_views=120)
 

@@ -472,15 +472,18 @@ class EgoNeRF:
         axes = [jnp.linspace(-1.0, 1.0, g) for g in gs]
         grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
 
-        def one_slab(slab, flag):
+        # params is a jit ARGUMENT (a closure capture would constant-fold
+        # the grids into the HLO — minutes-long compile per bake); the
+        # chart flag is traced too, so yin and yang share one program
+        def one_slab(p, slab, flag):
             coords = jnp.concatenate(
                 [slab.reshape(-1, 3), jnp.full((slab.shape[0] * slab.shape[1], 1), flag)],
                 axis=-1)
-            return self.compute_alpha(params, coords, self.step_size).reshape(gs[1], gs[2])
+            return self.compute_alpha(p, coords, self.step_size).reshape(gs[1], gs[2])
 
-        fn = jax.jit(one_slab, static_argnums=())
-        yin = jnp.stack([fn(grid[i], 0.0) for i in range(gs[0])])
-        yang = jnp.stack([fn(grid[i], 1.0) for i in range(gs[0])])
+        fn = jax.jit(one_slab)
+        yin = jnp.stack([fn(params, grid[i], 0.0) for i in range(gs[0])])
+        yang = jnp.stack([fn(params, grid[i], 1.0) for i in range(gs[0])])
         return yin, yang
 
     def update_alpha_mask(self, params, grid_size=None):

@@ -134,9 +134,12 @@ class TensorBase:
         gs = self.grid_size if grid_size is None else [int(g) for g in grid_size]
         axes = [jnp.linspace(-1.0, 1.0, g) for g in gs]
         grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
-        fn = jax.jit(lambda plane_coords: self.compute_alpha(
-            params, plane_coords.reshape(-1, 3), self.step_size).reshape(gs[1], gs[2]))
-        rows = [fn(grid[i]) for i in range(gs[0])]
+        # params is a jit ARGUMENT, not a closure capture: closing over it
+        # would constant-fold the multi-million-element grids into the HLO
+        # (minutes-long compile + duplicated grid memory) on every bake
+        fn = jax.jit(lambda p, plane_coords: self.compute_alpha(
+            p, plane_coords.reshape(-1, 3), self.step_size).reshape(gs[1], gs[2]))
+        rows = [fn(params, grid[i]) for i in range(gs[0])]
         return jnp.stack(rows)
 
     def update_alpha_mask(self, params, grid_size=None):

@@ -193,21 +193,24 @@ def _coerce(name: str, raw):
     if not isinstance(raw, str):
         return raw
     raw = raw.strip()
+    if raw.lower() in ("none", "null"):
+        # must run before the list branch: 'upsamp_list = None' means the
+        # Optional default, not [None] (which would crash the scheduler)
+        return None
     if name in _LIST_FIELDS or raw.startswith("["):
         val = ast.literal_eval(raw)
         return list(val) if isinstance(val, (list, tuple)) else [val]
     if "bool" in t:
         return raw.lower() in ("1", "true", "yes", "on", "")
     if "int" in t:
-        if raw.lower() in ("none", "null"):
-            return None
+        if raw.lower() in ("true", "false"):
+            # bare flag lines / valueless CLI flags produce the 'True'
+            # placeholder; several reference flags are 0/1 ints
+            # (render_test, render_train, evaluation, ... — opt.py types)
+            return int(raw.lower() == "true")
         return int(float(raw))
     if "float" in t:
-        if raw.lower() in ("none", "null"):
-            return None
         return float(raw)
-    if raw.lower() in ("none", "null"):
-        return None
     return raw
 
 

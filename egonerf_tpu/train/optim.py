@@ -14,16 +14,17 @@ from typing import Optional
 import jax
 import optax
 
-GRID_KEYS = ("density_planes", "density_lines", "app_planes", "app_lines",
-             "plane", "line", "planes", "lines", "coef")
 NETWORK_KEYS = ("basis", "shader")
 
 
 def lr_group_of(path) -> str:
+    """envmap / network (basis matrices + shader MLP) / grid — everything
+    not matched explicitly is a grid tensor (the fallthrough IS the grid
+    rule; there is no grid key list to keep in sync)."""
     top = path[0].key if hasattr(path[0], "key") else str(path[0])
     if top == "envmap":
         return "envmap"
-    if any(top.startswith(k) or k in top for k in NETWORK_KEYS):
+    if any(k in top for k in NETWORK_KEYS):
         return "network"
     return "grid"
 

@@ -56,6 +56,27 @@ def test_cli_overrides_all(tmp_path):
     assert cfg.expname == "a"
 
 
+def test_bare_flags_for_int_typed_fields(tmp_path):
+    """Several reference flags are 0/1 INTS (render_test, evaluation, ...);
+    a valueless CLI flag or bare config line must coerce to 1, not crash
+    on int(float('True'))."""
+    cfg = parse_cli(["--render_test", "--render_train"])
+    assert cfg.render_test == 1 and cfg.render_train == 1
+    leaf = write(tmp_path, "bare.txt", "render_test\nexp_sampling\n")
+    cfg2 = load_config(leaf)
+    assert cfg2.render_test == 1 and cfg2.exp_sampling is True
+
+
+def test_none_clears_optional_list_fields(tmp_path):
+    """'upsamp_list = None' means the Optional default (disabled), not
+    [None] — which would crash the trainer's event scheduler."""
+    leaf = write(tmp_path, "none.txt",
+                 "upsamp_list = None\nupdate_AlphaMask_list = None\n")
+    cfg = load_config(leaf)
+    assert cfg.upsamp_list is None
+    assert cfg.update_AlphaMask_list is None
+
+
 def test_unknown_key_raises(tmp_path):
     leaf = write(tmp_path, "bad.txt", "definitely_not_a_flag = 3\n")
     with pytest.raises(KeyError):

@@ -56,6 +56,28 @@ def test_omniblender_loader(omniblender_root):
     assert ds_test.all_rgbs.shape == (1, 10, 20, 3)
 
 
+def test_omniblender_roi_crops_rays_and_rgbs_together(omniblender_root):
+    """Non-default roi must crop images AND rays to the same raster (the
+    reference crops only the rays, silently misaligning every training
+    pair at roi != full — dataset_omniblender.py:70-84)."""
+    roi = [0.0, 0.8, 0.0, 1.0]
+    ds = OmniBlenderDataset(data_dir=omniblender_root, split="train",
+                            downsample=100.0, near_far=[0.1, 5.0], roi=roi)
+    assert ds.img_wh == (20, 8)          # cropped raster
+    assert ds.img_wh_origin == (20, 10)  # full frame
+    assert ds.all_rays.shape == (3 * 160, 6)
+    assert ds.all_rgbs.shape == (3 * 160, 3)
+    # the kept rgbs are exactly the TOP 8 rows of each image
+    full = OmniBlenderDataset(data_dir=omniblender_root, split="train",
+                              downsample=100.0, near_far=[0.1, 5.0])
+    np.testing.assert_array_equal(
+        ds.all_rgbs.reshape(3, 8, 20, 3),
+        full.all_rgbs.reshape(3, 10, 20, 3)[:, :8])
+    np.testing.assert_array_equal(
+        ds.all_rays.reshape(3, 8, 20, 6),
+        full.all_rays.reshape(3, 10, 20, 6)[:, :8])
+
+
 @pytest.fixture
 def egocentric_root(tmp_path):
     root = tmp_path / "rico"
