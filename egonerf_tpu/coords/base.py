@@ -109,3 +109,17 @@ class Coordinates:
         # every aabb corner is equidistant from the center
         max_r = float(np.linalg.norm(aabb[1] - aabb[0]) / 2.0)
         return center, max_r
+
+    def _max_r_from_center(self, aabb) -> float:
+        """Max distance of the aabb's 8 corners from the CHART center
+        (reference: models/coordinates.py:187-204).  NOT the box's own
+        half-diagonal: the chart center never moves, so once shrink hands
+        in an off-center box the two differ — the half-diagonal would
+        crop the radial grid short of real content.  Identical to the
+        half-diagonal for a box centered on the chart (the init case)."""
+        aabb = np.asarray(aabb, dtype=np.float32).reshape(2, 3)
+        idx = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                   indexing="ij"), -1).reshape(-1, 3)
+        corners = aabb[idx, np.arange(3)]  # (8, 3)
+        center = np.asarray(self.center, np.float32)
+        return float(np.linalg.norm(corners - center, axis=-1).max())

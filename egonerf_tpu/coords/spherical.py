@@ -40,7 +40,7 @@ class SphericalCoords(Coordinates):
 
     def update_aabb(self, new_aabb):
         self.aabb = np.asarray(new_aabb, dtype=np.float32).reshape(2, 3)
-        _, max_r = self._center_and_max_r(self.aabb)
+        max_r = self._max_r_from_center(self.aabb)
         self.near = np.array([0.0, 0.0, -pi], dtype=np.float32)
         self.far = np.array([max_r, pi, pi], dtype=np.float32)
         self.inv_diff = 1.0 / (self.far - self.near)
@@ -56,7 +56,7 @@ class SphericalCoords(Coordinates):
         return (coords - jnp.asarray(self.near)) * jnp.asarray(self.inv_diff) * 2.0 - 1.0
 
     def get_normalized_range(self, new_aabb):
-        _, max_r = self._center_and_max_r(new_aabb)
+        max_r = self._max_r_from_center(new_aabb)
         norm_r_max = (max_r - self.near[0]) * self.inv_diff[0]
         return np.zeros(3, np.float32), np.array([norm_r_max, 1.0, 1.0], np.float32)
 
@@ -146,7 +146,7 @@ class DirectionalSphericalCoords(SphericalCoords):
 
     def update_aabb(self, new_aabb):
         self.aabb = np.asarray(new_aabb, dtype=np.float32).reshape(2, 3)
-        _, max_r = self._center_and_max_r(self.aabb)
+        max_r = self._max_r_from_center(self.aabb)
         self.near = np.array([0.0, 0.0, 0.0], dtype=np.float32)
         self.far = np.array([max_r, pi, pi], dtype=np.float32)
         self.inv_diff = 1.0 / (self.far - self.near)
@@ -216,7 +216,7 @@ class DirectionalBalancedSphericalCoords(BalancedSphericalCoords):
 
     def update_aabb(self, new_aabb):
         self.aabb = np.asarray(new_aabb, dtype=np.float32).reshape(2, 3)
-        _, max_r = self._center_and_max_r(self.aabb)
+        max_r = self._max_r_from_center(self.aabb)
         self.near = np.array([0.0, 0.0, 0.0], dtype=np.float32)
         self.far = np.array([max_r, pi, pi], dtype=np.float32)
         self.inv_diff = 1.0 / (self.far - self.near)
@@ -266,7 +266,7 @@ class EulerSphericalCoords(Coordinates):
 
     def update_aabb(self, new_aabb):
         self.aabb = np.asarray(new_aabb, dtype=np.float32).reshape(2, 3)
-        _, max_r = self._center_and_max_r(self.aabb)
+        max_r = self._max_r_from_center(self.aabb)
         self.near = np.array([0.0, -pi, -pi], dtype=np.float32)
         self.far = np.array([max_r, pi, pi], dtype=np.float32)
         self.inv_diff = 1.0 / (self.far - self.near)
@@ -282,7 +282,7 @@ class EulerSphericalCoords(Coordinates):
         return (coords - jnp.asarray(self.near)) * jnp.asarray(self.inv_diff) * 2.0 - 1.0
 
     def get_normalized_range(self, new_aabb):
-        _, max_r = self._center_and_max_r(new_aabb)
+        max_r = self._max_r_from_center(new_aabb)
         norm_r_max = (max_r - self.near[0]) * self.inv_diff[0]
         return np.zeros(3, np.float32), np.array([norm_r_max, 1.0, 1.0], np.float32)
 

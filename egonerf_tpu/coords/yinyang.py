@@ -38,7 +38,7 @@ class YinYangSphericalCoords(GenericSphericalCoords):
 
     def update_aabb(self, new_aabb):
         self.aabb = np.asarray(new_aabb, dtype=np.float32).reshape(2, 3)
-        _, max_r = self._center_and_max_r(self.aabb)
+        max_r = self._max_r_from_center(self.aabb)
         # both grids share these ranges (reference: models/coordinates.py:501-505)
         self.near = np.array([0.0, pi / 4.0, -3.0 * pi / 4.0], dtype=np.float32)
         self.far = np.array([max_r, 3.0 * pi / 4.0, 3.0 * pi / 4.0], dtype=np.float32)

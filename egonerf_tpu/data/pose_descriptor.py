@@ -65,12 +65,18 @@ class ColmapPoseDescriptor(PoseDescriptorBase):
         i = 0
         with open(path) as f:
             for line in f.readlines()[4:]:
-                tokens = line.split()
-                if not tokens or tokens[0] == "#":
+                if line.startswith("#"):
                     continue
+                # count EVERY non-comment line, blank ones included: an
+                # image with zero observations has an EMPTY points2D line,
+                # and skipping it uncounted would flip the image/points2D
+                # alternation for all following entries
                 i += 1
                 if i % 2 == 0:
                     continue
+                tokens = line.split()
+                if not tokens:
+                    continue  # trailing blank line
                 quat = np.array(list(map(float, tokens[1:5])))[[1, 2, 3, 0]]  # wxyz->xyzw
                 t = np.array(list(map(float, tokens[5:8])))
                 img_fname = tokens[9]

@@ -59,13 +59,16 @@ def marching_tetrahedra(volume: np.ndarray, level: float, spacing=(1.0, 1.0, 1.0
     faces (F,3) int32).  volume: (X, Y, Z) scalar field."""
     vol = np.asarray(volume, np.float32)
     nx, ny, nz = vol.shape
-    cx, cy, cz = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
-                             np.arange(nz - 1), indexing="ij")
+    cx, cy, cz = np.meshgrid(np.arange(nx - 1, dtype=np.int32),
+                             np.arange(ny - 1, dtype=np.int32),
+                             np.arange(nz - 1, dtype=np.int32), indexing="ij")
     cells = np.stack([cx, cy, cz], -1).reshape(-1, 3)
 
-    # corner values for every cell: (M, 8)
-    corner_idx = cells[:, None, :] + _CUBE[None, :, :].astype(np.int64)
-    vals = vol[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
+    # corner VALUES without materializing per-cell corner indices (that
+    # (M, 8, 3) int tensor is ~400 MB at the default 128^3 grid): the 8
+    # shifted views of the volume share storage
+    vals = np.stack([vol[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
+                     for dx, dy, dz in _CUBE.astype(int)], -1).reshape(-1, 8)
     # keep only cells the surface crosses
     crossing = (vals.min(1) < level) & (vals.max(1) >= level)
     cells, vals = cells[crossing], vals[crossing]

@@ -49,9 +49,14 @@ def read_cameras_text(path: str) -> dict:
 def read_images_text(path: str) -> list:
     out = []
     with open(path) as f:
-        lines = [l for l in f if not l.startswith("#") and l.strip()]
+        # keep BLANK lines: an image with zero observations gets an EMPTY
+        # points2D line, and dropping it would flip the image/points2D
+        # alternation for every following entry
+        lines = [l for l in f if not l.startswith("#")]
     for meta_line in lines[::2]:  # every other line is 2-D point data
         toks = meta_line.split()
+        if not toks:
+            continue  # trailing blank line
         out.append({
             "qvec": [float(t) for t in toks[1:5]],
             "tvec": [float(t) for t in toks[5:8]],

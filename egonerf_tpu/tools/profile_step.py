@@ -108,16 +108,17 @@ def summarize(profile_dir: str = PROFILE_DIR, top: int = 40):
 
 
 def main():
-    from . import require_tpu_relay
-
-    require_tpu_relay()
     # a bare directory argument means "summarize that dump" — capturing
-    # (which needs the TPU) only happens with no args at all
+    # (which needs the TPU) only happens with no args at all, so the relay
+    # guard runs only on the capture path
     dirs = [a for a in sys.argv[1:] if not a.startswith("-")]
     if dirs:
         summarize(dirs[0])
         return
     if "--summarize-only" not in sys.argv:
+        from . import require_tpu_relay
+
+        require_tpu_relay()
         capture()
     summarize()
 

@@ -41,9 +41,17 @@ def try_lock(basedir: str, expname: str) -> bool:
 
 def run_sweep(config: str, grids: dict, basedir: str = "./log/sweep",
               dry: bool = False, python=sys.executable) -> list:
-    launched = []
+    launched, failed = [], []
     for combo in make_param_grid(grids):
         expname = expname_for(combo)
+        if dry:
+            # preview must not take locks — a dry run that mkdir'd every
+            # logdir would make the later real sweep skip everything
+            locked = os.path.isdir(os.path.join(basedir, expname))
+            print(f"{'skip (locked)' if locked else 'would launch'}: {expname}")
+            if not locked:
+                launched.append(expname)
+            continue
         if not try_lock(basedir, expname):
             print(f"skip (locked): {expname}")
             continue
@@ -53,8 +61,17 @@ def run_sweep(config: str, grids: dict, basedir: str = "./log/sweep",
             cmd += [f"--{k}", str(v)]
         print("launch:", " ".join(cmd))
         launched.append(expname)
-        if not dry:
-            subprocess.run(cmd, check=True)
+        # one crashed combo must not kill the rest of the sweep; release
+        # its lock so a re-run can retry it
+        if subprocess.run(cmd).returncode != 0:
+            failed.append(expname)
+            print(f"FAILED: {expname} (lock released for retry)")
+            try:
+                os.rmdir(os.path.join(basedir, expname))
+            except OSError:
+                pass  # logdir non-empty: keep partial output + the lock
+    if failed:
+        print(f"{len(failed)}/{len(launched)} experiments failed: {failed}")
     return launched
 
 

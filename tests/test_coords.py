@@ -128,3 +128,22 @@ def test_up_sampling_vm_interpolates_constant_field():
     out = np.asarray(cs.up_sampling_VM(line, [24, 20, 32], ids=[0]))
     assert out.shape == (2, 24, 4)
     np.testing.assert_allclose(out, -1.25, atol=1e-5)
+
+
+def test_max_r_measured_from_chart_center_after_offcenter_shrink():
+    """update_aabb/get_normalized_range measure max radius from the FIXED
+    chart center, like the reference's _get_max_r (models/coordinates.py:
+    187-204) — the new box's own half-diagonal would crop the radial grid
+    short of real content once shrink hands in an off-center box."""
+    from egonerf_tpu.coords.spherical import SphericalCoords
+
+    aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    c = SphericalCoords(aabb)
+    assert c.far[0] == pytest.approx(np.sqrt(3.0), rel=1e-6)
+    off = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]], np.float32)
+    # corner (1,1,1) is still sqrt(3) from the chart center (the origin);
+    # the off-center box's own half-diagonal would claim sqrt(3)/2
+    lo, hi = c.get_normalized_range(off)
+    assert hi[0] == pytest.approx(1.0, rel=1e-6)
+    c.update_aabb(off)
+    assert c.far[0] == pytest.approx(np.sqrt(3.0), rel=1e-6)

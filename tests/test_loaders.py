@@ -158,3 +158,31 @@ def test_llff_loader(llff_root):
     ds_t = LLFFDataset(data_dir=llff_root, split="test", is_stack=True,
                        near_far=[1.0, 10.0])
     assert ds_t.all_rays.shape[0] == 2
+
+
+def test_colmap_parsers_survive_zero_observation_images(tmp_path):
+    """COLMAP writes an EMPTY points2D line for a registered image with no
+    observations; both images.txt parsers must keep the image/points2D
+    alternation across it instead of parsing point data as poses."""
+    body = (
+        "1 0.99 0.01 0.02 0.03 0.1 0.2 0.3 1 img_a.png\n"
+        "\n"  # zero-observation image: empty points2D line
+        "2 0.98 0.02 0.03 0.04 0.4 0.5 0.6 1 img_b.png\n"
+        "100.5 200.3 17 300.1 400.2 18\n"
+        "3 0.97 0.03 0.04 0.05 0.7 0.8 0.9 1 img_c.png\n"
+        "1.0 2.0 3\n")
+
+    from egonerf_tpu.data.pose_descriptor import ColmapPoseDescriptor
+
+    sub = tmp_path / "output_dir" / "colmap"
+    sub.mkdir(parents=True)
+    (sub / "images.txt").write_text("# h\n# h\n# h\n# h\n" + body)
+    pd = ColmapPoseDescriptor()
+    pd.read_pose_file(str(tmp_path))
+    assert sorted(pd.poses_dict) == ["img_a.png", "img_b.png", "img_c.png"]
+
+    from egonerf_tpu.tools.colmap2nerf import read_images_text
+
+    (tmp_path / "images2.txt").write_text("# h\n" + body)
+    imgs = read_images_text(str(tmp_path / "images2.txt"))
+    assert [i["name"] for i in imgs] == ["img_a.png", "img_b.png", "img_c.png"]

@@ -26,13 +26,18 @@ def test_folder_lock(tmp_path):
     assert not try_lock(str(tmp_path), "exp_a")  # second claimant loses
 
 
-def test_sweep_dry_run_skips_locked(tmp_path, capsys):
-    launched = run_sweep("cfg.txt", {"lr_init": ["0.01", "0.02"]},
-                         basedir=str(tmp_path), dry=True)
+def test_sweep_dry_run_takes_no_locks(tmp_path, capsys):
+    grid = {"lr_init": ["0.01", "0.02"]}
+    launched = run_sweep("cfg.txt", grid, basedir=str(tmp_path), dry=True)
     assert len(launched) == 2
-    launched2 = run_sweep("cfg.txt", {"lr_init": ["0.01", "0.02"]},
-                          basedir=str(tmp_path), dry=True)
-    assert launched2 == []  # all locked now
+    # the preview must NOT claim locks: a dry run that mkdir'd every
+    # logdir would make the later real sweep skip every experiment
+    launched2 = run_sweep("cfg.txt", grid, basedir=str(tmp_path), dry=True)
+    assert len(launched2) == 2
+    # but an already-claimed experiment is reported as locked
+    os.makedirs(os.path.join(str(tmp_path), "lr_init-0.01"))
+    launched3 = run_sweep("cfg.txt", grid, basedir=str(tmp_path), dry=True)
+    assert launched3 == ["lr_init-0.02"]
 
 
 def test_qvec2rotmat_identity_and_orthonormal():
