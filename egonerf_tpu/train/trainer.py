@@ -270,9 +270,15 @@ class Trainer:
     def _build_optimizer(self, lr_scale: float, lr_envmap: Optional[float] = None,
                          decay: bool = True):
         cfg = self.cfg
+        # observable record of the group lrs baked into the optax chain
+        # (inspection + the resume tests pin the envmap-pretrain handoff)
+        self.lr_groups = dict(
+            grid=cfg.lr_init * lr_scale, network=cfg.lr_basis * lr_scale,
+            envmap=(lr_envmap if lr_envmap is not None else cfg.lr_envmap) * lr_scale,
+            decay=decay)
         self.tx = make_optimizer(
-            self.params, cfg.lr_init * lr_scale, cfg.lr_basis * lr_scale,
-            (lr_envmap if lr_envmap is not None else cfg.lr_envmap) * lr_scale,
+            self.params, self.lr_groups["grid"], self.lr_groups["network"],
+            self.lr_groups["envmap"],
             decay_target_ratio=cfg.lr_decay_target_ratio if decay else 1.0,
             decay_iters=self.decay_iters)
         self.opt_state = self.tx.init(self.params)

@@ -126,6 +126,26 @@ def test_resume_schedule_realignment_helpers(tmp_path):
     assert initial_l1_weight(cfg0, 9000) == pytest.approx(cfg0.L1_weight_initial)
 
 
+def test_resumed_envmap_run_uses_main_loop_lr(tmp_path):
+    """A resumed run skips envmap pretraining, so its optimizer must carry
+    the MAIN-loop envmap lr — not lr_envmap_pretrain (which used to leak
+    through the skipped post-pretrain rebuild and train the envmap at 4x
+    the intended rate for the rest of the run)."""
+    over = dict(use_envmap=True, iter_pretrain_envmap=50,
+                lr_envmap=0.005, lr_envmap_pretrain=0.02, n_iters=4)
+    # a FRESH run gets the pretrain lr only inside pretrain_envmap itself,
+    # so its init-time optimizer carries the main lr
+    t_fresh = Trainer(tiny_cfg(tmp_path, expname="fresh_env", **over))
+    assert t_fresh.start_step == 0
+    assert t_fresh.lr_groups["envmap"] == pytest.approx(0.005)
+    # plant an envmap-bearing checkpoint and resume into it
+    os.makedirs(os.path.join(str(tmp_path), "e2e"), exist_ok=True)
+    t_fresh.save(os.path.join(str(tmp_path), "e2e", "ck_000002.npz"), 2)
+    t2 = Trainer(tiny_cfg(tmp_path, **over))
+    assert t2.start_step == 2
+    assert t2.lr_groups["envmap"] == pytest.approx(0.005)
+
+
 def test_use_depth_without_depths_fails_loudly(tmp_path):
     """use_depth=True on a depthless dataset must be a config error, not
     silent zero-supervision (device path) or a trace-time IndexError."""
