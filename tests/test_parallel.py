@@ -119,3 +119,49 @@ def test_device_raygen_sharded_matches():
     out8 = r_mesh.render_view(params, c2w)
     np.testing.assert_allclose(out1["rgb"], out8["rgb"], atol=1e-5)
     np.testing.assert_allclose(out1["depth"], out8["depth"], atol=1e-4)
+
+
+def test_sharded_culled_step_matches_single_device():
+    """The train_keep compacted step (top-K cull, ops/cull.py) under the
+    8-way mesh must reproduce the single-device losses — the per-ray
+    top_k/tie-break/select must be purely batch-local so sharding the ray
+    axis changes nothing (guards a future train_keep default flip)."""
+    model, params, rays, target = setup()
+    tx = optax.adam(1e-2)
+
+    def make_culled_step():
+        def step(params, opt_state, rays, target, key):
+            def loss_fn(p):
+                out = model.forward(p, rays, key=key, is_train=True,
+                                    n_coarse=16, n_fine=16, train_keep=24)
+                return jnp.mean((out["rgb"] - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    step1 = jax.jit(make_culled_step())
+    p1, s1 = params, tx.init(params)
+    losses1 = []
+    for i in range(3):
+        p1, s1, l = step1(p1, s1, jnp.asarray(rays), jnp.asarray(target),
+                          jax.random.PRNGKey(i))
+        losses1.append(float(l))
+
+    mesh = make_mesh(8)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    step8 = jax.jit(make_culled_step(),
+                    in_shardings=(rep, rep, bs, bs, rep),
+                    out_shardings=(rep, rep, rep))
+    p8 = replicate_tree(mesh, params)
+    s8 = replicate_tree(mesh, tx.init(params))
+    losses8 = []
+    for i in range(3):
+        p8, s8, l = step8(p8, s8, jax.device_put(rays, bs),
+                          jax.device_put(target, bs), jax.random.PRNGKey(i))
+        losses8.append(float(l))
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
