@@ -25,6 +25,26 @@ _SPHERE_COLORS = np.array([
 ], dtype=np.float32)
 
 
+def _scene_spheres(background: str):
+    """Solid spheres for a scene variant.  ``cluttered`` adds 24 deterministic
+    spheres spread over radii ~1.2-5.5 in all directions — occupied space is
+    distributed through the volume instead of concentrated at the wall, the
+    adversarial regime for empty-space culling (a top-K keep must then split
+    its budget across several candidate surfaces per ray)."""
+    if background != "cluttered":
+        return _SPHERES, _SPHERE_COLORS
+    rng = np.random.default_rng(7)
+    n = 24
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    radii = rng.uniform(1.2, 5.5, size=(n, 1))
+    sizes = rng.uniform(0.15, 0.6, size=(n, 1))
+    extra = np.concatenate([u * radii, sizes], axis=-1).astype(np.float32)
+    colors = rng.uniform(0.15, 0.95, size=(n, 3)).astype(np.float32)
+    return (np.concatenate([_SPHERES, extra]),
+            np.concatenate([_SPHERE_COLORS, colors]))
+
+
 def _wall_color(p: np.ndarray) -> np.ndarray:
     """Smooth banded texture on the wall sphere as a function of hit point."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
@@ -48,12 +68,15 @@ def trace_rays(rays_o: np.ndarray, rays_d: np.ndarray, wall_radius: float = 8.0,
     (= "no depth supervision" sentinel), which is exactly the environment-
     map factorization the use_envmap model family learns (reference
     composite: models/EgoNeRF.py:586-591).
+    ``background='cluttered'`` keeps the wall but fills the volume with 24
+    extra spheres (see _scene_spheres) — the cull-adversarial variant.
     """
     n = rays_o.shape[0]
     best_t = np.full(n, np.inf, np.float32)
     rgb = np.zeros((n, 3), np.float32)
 
-    for sph, col in zip(_SPHERES, _SPHERE_COLORS):
+    spheres, sphere_colors = _scene_spheres(background)
+    for sph, col in zip(spheres, sphere_colors):
         oc = rays_o - sph[:3]
         b = np.sum(oc * rays_d, -1)
         c = np.sum(oc * oc, -1) - sph[3] ** 2

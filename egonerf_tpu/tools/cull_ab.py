@@ -26,22 +26,32 @@ def main():
     require_tpu_relay()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     keeps = [int(k) for k in args[0].split(",")] if args else [192, 128]
+    scene = "wall"
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            scene = a.split("=", 1)[1]
 
     results = {"protocol": "sampler_ab device-uniform + train_keep",
+               "scene": scene,
                "baseline": "device_uniform_with_replacement "
                            "(docs/results_sampler_ab.json)",
                "runs": []}
+    if scene != "wall" and 0 not in keeps:
+        # the recorded 38.71 dB baseline is wall-scene-only; any other
+        # scene needs its own uncompacted baseline in the same record
+        keeps = [0] + keeps
     for k in keeps:
-        print(f"=== train_keep={k} ===", flush=True)
-        rec = sampler_ab.run_variant(f"train_keep_{k}", "simple", True,
-                                     train_keep=k)
+        print(f"=== train_keep={k} (scene={scene}) ===", flush=True)
+        rec = sampler_ab.run_variant(f"tk{k}_{scene}", "simple", True,
+                                     scene=scene, train_keep=k)
         rec["train_keep"] = k
         results["runs"].append(rec)
         print(json.dumps(rec), flush=True)
 
     from . import write_results
 
-    write_results("cull_ab", results)
+    write_results(f"cull_ab_{scene}" if scene != "wall" else "cull_ab",
+                  results)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,8 @@ def make_config(name: str, method: str, device_sampling: bool, **extra):
     ))
 
 
-def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
+def run_variant(name: str, method: str, device_sampling: bool,
+                scene: str = "wall", **extra) -> dict:
     from ..data.datasets import SyntheticEgoDataset
     from ..train.trainer import Trainer
 
@@ -62,7 +63,7 @@ def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
         shutil.rmtree(logdir)
     trainer = Trainer(cfg)
     common = dict(n_train=N_TRAIN, n_test=N_TEST, height=IMG_H, width=IMG_W,
-                  near_far=cfg.near_far)
+                  near_far=cfg.near_far, background=scene)
     train_ds = SyntheticEgoDataset(split="train", is_stack=False, **common)
     test_ds = SyntheticEgoDataset(split="test", is_stack=True, **common)
     trainer.set_datasets(train_ds, test_ds)
@@ -78,8 +79,8 @@ def run_variant(name: str, method: str, device_sampling: bool, **extra) -> dict:
             if rec["tag"] == "test/psnr":
                 curve[int(rec["step"]) + 1] = round(rec["value"], 3)
     return {"variant": name, "sampling_method": method,
-            "device_sampling": device_sampling, "psnr_by_iter": curve,
-            "wall_s": round(wall, 1)}
+            "device_sampling": device_sampling, "scene": scene,
+            "psnr_by_iter": curve, "wall_s": round(wall, 1)}
 
 
 def main():

@@ -141,3 +141,31 @@ def test_eval_bench_runs_from_checkpoint(tmp_path):
     assert rows[0]["psnr_vs_full"] is None and rows[0]["psnr_vs_gt"] > 0
     assert rows[16]["psnr_vs_full"] is not None
     assert rows[16]["sec_per_image"] > 0
+
+
+def test_synthetic_cluttered_background_mode():
+    """'cluttered' scene: occupied space distributed through the volume
+    (the cull-adversarial regime for ops/cull.py's top-K keep) — many more
+    sub-wall surface hits than the wall scene, still fully analytic."""
+    import numpy as np
+
+    from egonerf_tpu.data.synthetic import make_poses, render_views
+
+    poses = make_poses(2)
+    _, _, d_wall = render_views(poses, 30, 60, background="wall")
+    rays, rgbs, d_cl = render_views(poses, 30, 60, background="cluttered")
+    assert (d_cl > 0).all() and np.isfinite(d_cl).all()
+    near_wall = (d_wall < 7.0).mean()
+    near_cl = (d_cl < 7.0).mean()
+    assert near_cl > 3 * near_wall, (near_wall, near_cl)
+    # deterministic scene (fixed sphere layout)
+    _, rgbs2, d2 = render_views(poses, 30, 60, background="cluttered")
+    np.testing.assert_array_equal(rgbs, rgbs2)
+    np.testing.assert_array_equal(d_cl, d2)
+    # plumbed through the dataset + the A/B driver's dataset kwargs
+    from egonerf_tpu.data.datasets import SyntheticEgoDataset
+
+    ds = SyntheticEgoDataset(split="train", is_stack=False, n_train=2,
+                             n_test=1, height=20, width=40,
+                             background="cluttered")
+    assert ds.all_rays.shape[0] == 2 * 800
