@@ -38,12 +38,22 @@ def _ssim_map(img0: np.ndarray, img1: np.ndarray, max_val: float = 1.0,
     win = np.exp(-0.5 * t)
     win /= win.sum()
 
-    def blur(z):
-        return np.stack(
-            [scipy.signal.convolve2d(
-                scipy.signal.convolve2d(z[..., c], win[:, None], mode="valid"),
-                win[None, :], mode="valid")
-             for c in range(z.shape[-1])], -1)
+    if filter_size % 2:  # fast path: ndimage's C 1-D correlate, all
+        # channels at once, then crop to 'valid' (~20x vs convolve2d on
+        # the 1-core host: 4.8 s -> 0.25 s per 1000x2000 image)
+        import scipy.ndimage
+
+        def blur(z):
+            z = scipy.ndimage.convolve1d(z, win, axis=0, mode="constant")
+            z = scipy.ndimage.convolve1d(z, win, axis=1, mode="constant")
+            return z[hw:-hw or None, hw:-hw or None]
+    else:  # even windows need the mipnerf half-shift; keep the exact form
+        def blur(z):
+            return np.stack(
+                [scipy.signal.convolve2d(
+                    scipy.signal.convolve2d(z[..., c], win[:, None], mode="valid"),
+                    win[None, :], mode="valid")
+                 for c in range(z.shape[-1])], -1)
 
     mu0, mu1 = blur(img0), blur(img1)
     s00 = np.maximum(blur(img0 ** 2) - mu0 ** 2, 0.0)

@@ -761,3 +761,24 @@ def test_tensorvm_matches_reference(ref_modules):
                        n_coarse=32, exp_sampling=False)
     np.testing.assert_allclose(np.asarray(out["rgb"]), r_rgb.numpy(), atol=2e-2)
     np.testing.assert_allclose(np.asarray(out["depth"]), r_depth.numpy(), atol=5e-2)
+
+
+def test_rgb_ssim_matches_reference(ref_modules):
+    """Our separable-ndimage SSIM must reproduce the reference's mipnerf
+    port (reference: utils.py:106-152) to float precision — the fast blur
+    is an implementation change, not a semantics change."""
+    del ref_modules  # only needed for the import stubs it installs
+    sys.path.insert(0, REF)
+    try:
+        from utils import rgb_ssim as ref_rgb_ssim
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.render.metrics import rgb_ssim
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (40, 80, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape).astype(np.float32), 0, 1)
+    ours = rgb_ssim(a, b)
+    theirs = float(ref_rgb_ssim(a, b, max_val=1.0))
+    assert abs(ours - theirs) < 1e-8, (ours, theirs)
