@@ -37,12 +37,14 @@ def make_config(name: str, method: str, device_sampling: bool, **extra):
     from ..presets import production_overrides
     from ..train.config import load_config
 
-    return load_config(overrides=production_overrides(
+    base = dict(
         n_iters=N_ITERS, progress_refresh_rate=500,
         basedir="/tmp/egonerf_sampler_ab", expname=name, N_vis=-1,
         vis_list=str(list(range(VIS_EVERY, N_ITERS + 1, VIS_EVERY))),
-        sampling_method=method, device_sampling=device_sampling, **extra,
-    ))
+        sampling_method=method, device_sampling=device_sampling,
+    )
+    base.update(extra)  # extra wins, including over this driver's defaults
+    return load_config(overrides=production_overrides(**base))
 
 
 def run_variant(name: str, method: str, device_sampling: bool,

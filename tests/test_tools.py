@@ -169,3 +169,31 @@ def test_synthetic_cluttered_background_mode():
                              n_test=1, height=20, width=40,
                              background="cluttered")
     assert ds.all_rays.shape[0] == 2 * 800
+
+
+def test_cull_ab_run_variant_smoke(monkeypatch, tmp_path):
+    """The exact driver path the TPU queue runs (sampler_ab.run_variant via
+    cull_ab: fresh-logdir guard, cluttered scene kwarg, train_keep plumb,
+    metrics.jsonl curve extraction) at CPU-tiny shape."""
+    from egonerf_tpu.tools import sampler_ab
+
+    monkeypatch.setattr(sampler_ab, "N_ITERS", 8)
+    monkeypatch.setattr(sampler_ab, "VIS_EVERY", 4)
+    monkeypatch.setattr(sampler_ab, "N_TRAIN", 2)
+    monkeypatch.setattr(sampler_ab, "N_TEST", 1)
+    monkeypatch.setattr(sampler_ab, "IMG_H", 40)
+    monkeypatch.setattr(sampler_ab, "IMG_W", 80)
+
+    tiny = dict(N_voxel_init=27_000, N_voxel_final=27_000,
+                n_lamb_sigma=[4, 4, 4], n_lamb_sh=[8, 8, 8],
+                n_coarse=16, n_fine=16, batch_size=256, steps_per_call=2,
+                eval_chunk=2048, basedir=str(tmp_path))
+    rec = sampler_ab.run_variant("tk24_cluttered", "simple", True,
+                                 scene="cluttered", train_keep=24, **tiny)
+    assert rec["scene"] == "cluttered"
+    assert rec["psnr_by_iter"], rec  # the A/B curve the analysis reads
+    assert all(v > 0 for v in rec["psnr_by_iter"].values())
+    # the fresh-run guard: a second invocation must retrain, not resume
+    rec2 = sampler_ab.run_variant("tk24_cluttered", "simple", True,
+                                  scene="cluttered", train_keep=24, **tiny)
+    assert rec2["psnr_by_iter"] == rec["psnr_by_iter"]  # same seed, fresh run
