@@ -46,6 +46,11 @@ def main():
         use_envmap=True, envmap_res_H=500, iter_pretrain_envmap=PRETRAIN,
         render_test=True,
     ))
+    # fresh run, always: a leftover completed checkpoint would auto-resume
+    # (skipping pretrain AND training) and re-report the old result
+    import shutil
+
+    shutil.rmtree("/tmp/egonerf_envmap_e2e/envmap_e2e", ignore_errors=True)
     trainer = Trainer(cfg)
     common = dict(n_train=N_TRAIN, n_test=N_TEST, height=IMG_H, width=IMG_W,
                   background="env", near_far=cfg.near_far)

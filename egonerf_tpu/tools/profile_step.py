@@ -29,11 +29,24 @@ def capture():
 
     from ..presets import production_overrides
 
+    # PROFILE_TRAIN_KEEP traces the compacted step (ops/cull.py) so the
+    # culled program gets the same per-op roofline accounting the full
+    # step has (see BASELINE.md tables)
+    train_keep = int(os.environ.get("PROFILE_TRAIN_KEEP", 0))
     cfg = load_config(overrides=production_overrides(
         n_iters=N_ITERS, progress_refresh_rate=16,
         basedir="/tmp/egonerf_profile_run", expname="profile", N_vis=0,
-        profile_dir=PROFILE_DIR,
+        profile_dir=PROFILE_DIR, train_keep=train_keep,
     ))
+    if train_keep:
+        print(f"profiling the train_keep={train_keep} compacted step")
+    # fresh run, always: a completed checkpoint in the profile logdir
+    # would auto-resume at n_iters and trace nothing
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    if os.path.isdir(logdir):
+        import shutil
+
+        shutil.rmtree(logdir)
     trainer = Trainer(cfg)
     common = dict(n_train=4, n_test=1, height=500, width=1000,
                   near_far=cfg.near_far)
