@@ -61,7 +61,7 @@ def main():
     # CPU, but outages have also ended on their own, so poll for up to
     # BENCH_RELAY_WAIT_S (default 10 min) before declaring the run
     # unbenchmarkable (shared guard: egonerf_tpu/tools/relay_ready).
-    from egonerf_tpu.tools import relay_ready
+    from egonerf_tpu.tools import acquire_tpu_lock, relay_ready
 
     relay_err = relay_ready(float(os.environ.get("BENCH_RELAY_WAIT_S", 600)))
     if relay_err:
@@ -69,6 +69,11 @@ def main():
                       error=f"{relay_err}; not benchmarkable from this process")
         print(json.dumps(result))
         return
+    # serialize against any experiment driver holding the chip — a bench
+    # overlapped with another TPU job measures queueing, not the step
+    if not acquire_tpu_lock():
+        result["warning_lock"] = ("chip lock busy past TPU_LOCK_WAIT_S; "
+                                  "another TPU process may be running")
 
     import jax
 

@@ -53,10 +53,53 @@ def relay_ready(wait_s: float | None = None) -> str | None:
         time.sleep(15)
 
 
+_TPU_LOCK_FD = None  # held for the life of the process once acquired
+
+
+def acquire_tpu_lock(wait_s: float | None = None) -> bool:
+    """Serialize chip users via an exclusive flock on ``/tmp/egonerf_tpu.lock``.
+
+    Only ONE process can use the TPU productively (the chip sits behind a
+    single host-mediated tunnel), so every TPU entry point — bench.py and
+    each experiment driver — takes this lock before touching JAX and holds
+    it until process exit (the kernel releases flocks automatically, so a
+    crashed holder never wedges the queue).  Polls for up to
+    ``$TPU_LOCK_WAIT_S`` (default 3600 s); on timeout it returns False and
+    the caller proceeds anyway — accepting contention beats deadlocking an
+    unattended driver.  No-op (True) on non-axon platforms.
+    """
+    global _TPU_LOCK_FD
+    import fcntl
+    import os
+    import time
+
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True
+    if _TPU_LOCK_FD is not None:
+        return True
+    if wait_s is None:
+        wait_s = float(os.environ.get("TPU_LOCK_WAIT_S", 3600))
+    fd = os.open("/tmp/egonerf_tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _TPU_LOCK_FD = fd  # keep the fd open = keep the lock
+            return True
+        except OSError:
+            if time.monotonic() >= deadline:
+                os.close(fd)
+                return False
+            time.sleep(10)
+
+
 def require_tpu_relay() -> None:
     """SystemExit with a clear error when the relay stays down past the
-    bounded poll (see :func:`relay_ready`)."""
+    bounded poll (see :func:`relay_ready`); once the relay answers, also
+    take the chip lock (:func:`acquire_tpu_lock`) so sequential experiment
+    drivers never overlap on the single TPU."""
     err = relay_ready()
     if err:
         raise SystemExit(
             f"{err}; this tool needs the TPU — re-run when the relay returns")
+    acquire_tpu_lock()

@@ -197,3 +197,33 @@ def test_cull_ab_run_variant_smoke(monkeypatch, tmp_path):
     rec2 = sampler_ab.run_variant("tk24_cluttered", "simple", True,
                                   scene="cluttered", train_keep=24, **tiny)
     assert rec2["psnr_by_iter"] == rec["psnr_by_iter"]  # same seed, fresh run
+
+
+def test_tpu_chip_lock(monkeypatch, tmp_path):
+    """acquire_tpu_lock serializes chip users: a held flock makes a second
+    claimant time out (False); a released one is acquirable (True); the
+    guard is a no-op off-axon."""
+    import fcntl
+    import egonerf_tpu.tools as tools
+
+    # off-axon: no-op True, no fd taken
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setattr(tools, "_TPU_LOCK_FD", None)
+    assert tools.acquire_tpu_lock() is True
+    assert tools._TPU_LOCK_FD is None
+
+    # on-axon with the lock held elsewhere: bounded wait, then False
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    holder = os.open("/tmp/egonerf_tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    try:
+        fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        assert tools.acquire_tpu_lock(wait_s=0.1) is False
+        assert tools._TPU_LOCK_FD is None
+    finally:
+        os.close(holder)  # releases the flock
+
+    # lock free again: acquired and cached for the process lifetime
+    assert tools.acquire_tpu_lock(wait_s=0.1) is True
+    assert tools._TPU_LOCK_FD is not None
+    os.close(tools._TPU_LOCK_FD)
+    monkeypatch.setattr(tools, "_TPU_LOCK_FD", None)
