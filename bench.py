@@ -32,12 +32,17 @@ import statistics
 import sys
 import time
 
+from egonerf_tpu.presets import production_overrides  # light import, no jax
+
 BASELINE_RAYS_PER_SEC = 30_000.0  # estimated reference (RTX 3090) rate
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
-# ablation-only: train-time top-K cull (ops/cull.py).  The headline stays
-# at 0 = the reference's full 256-evals/ray semantics; nonzero values are
-# recorded in the output so an ablation run can't pass as the headline.
-TRAIN_KEEP = int(os.environ.get("BENCH_TRAIN_KEEP", 0))
+# train-time top-K cull (ops/cull.py).  The headline follows the
+# production preset's default (flipping that default is gated on the
+# pre-registered A/B protocol, NOTES.md); the env var is the ablation
+# toggle, and any nonzero value is recorded in the output so a culled
+# run can never pass as an unculled one.
+TRAIN_KEEP = int(os.environ.get("BENCH_TRAIN_KEEP",
+                                production_overrides()["train_keep"]))
 SANITY_FLOOR = 9_000.0  # rays/s; below this the host/TPU was degraded
 
 WARMUP_ITERS = 96
@@ -86,7 +91,6 @@ def main():
         print(json.dumps(result))
         return
 
-    from egonerf_tpu.presets import production_overrides
     from egonerf_tpu.train.config import load_config
     from egonerf_tpu.train.trainer import Trainer
 

@@ -31,6 +31,11 @@ def production_overrides(**deltas) -> dict:
         density_shift="-8", view_pe=2, fea_pe=2, featureC=128,
         lr_init=0.02, sparsity_lambda=0, near_far="[0.01, 15.0]",
         i_weights=10**9, seed=0,
+        # train-time top-K cull (ops/cull.py).  0 = the reference's full
+        # 256-evals/ray semantics.  Flipping this default is gated on the
+        # pre-registered A/B protocol in NOTES.md ("Pending: train_keep
+        # headline decision"); bench.py's headline follows this value.
+        train_keep=0,
     )
     base.update(deltas)
     return base
