@@ -84,9 +84,11 @@ run bench_quick_base      env BENCH_QUICK=1 python bench.py
 run bench_quick_keep192   env BENCH_QUICK=1 BENCH_TRAIN_KEEP=192 python bench.py
 run bench_quick_keep128   env BENCH_QUICK=1 BENCH_TRAIN_KEEP=128 python bench.py
 run cull_ab               python -m egonerf_tpu.tools.cull_ab 192,128
-run eval_bench            python -m egonerf_tpu.tools.eval_bench /tmp/egonerf_quality/refscale30k 0,192,128,96,64
 run cull_ab_cluttered     python -m egonerf_tpu.tools.cull_ab 192,128 --scene=cluttered
 run quality_refscale      python -m egonerf_tpu.tools.quality_run refscale
+# the 30k checkpoint lived in /tmp and was wiped by a reboot; sweep the
+# fresh refscale (10k) checkpoint instead
+run eval_bench            python -m egonerf_tpu.tools.eval_bench /tmp/egonerf_quality/refscale 0,192,128,96,64
 run bench_full            python bench.py
 
 echo "$(date -u +%FT%TZ) queue complete"
