@@ -43,6 +43,11 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 # run can never pass as an unculled one.
 TRAIN_KEEP = int(os.environ.get("BENCH_TRAIN_KEEP",
                                 production_overrides()["train_keep"]))
+TRAIN_KEEP_FULL_EVERY = int(os.environ.get(
+    "BENCH_TRAIN_KEEP_FULL_EVERY",
+    production_overrides()["train_keep_full_every"]))
+TRAIN_CULL_TAU = float(os.environ.get(
+    "BENCH_TRAIN_CULL_TAU", production_overrides()["train_cull_tau"]))
 SANITY_FLOOR = 9_000.0  # rays/s; below this the host/TPU was degraded
 
 WARMUP_ITERS = 96
@@ -99,9 +104,15 @@ def main():
         basedir="/tmp/egonerf_bench", expname="bench", N_vis=0,
         vis_list="[1000000000]", steps_per_call=STEPS_PER_CALL,
         compute_dtype=COMPUTE_DTYPE, train_keep=TRAIN_KEEP,
+        train_keep_full_every=TRAIN_KEEP_FULL_EVERY,
+        train_cull_tau=TRAIN_CULL_TAU,
     ))
     if TRAIN_KEEP:
         result["train_keep"] = TRAIN_KEEP
+        if TRAIN_KEEP_FULL_EVERY:
+            result["train_keep_full_every"] = TRAIN_KEEP_FULL_EVERY
+        if TRAIN_CULL_TAU:
+            result["train_cull_tau"] = TRAIN_CULL_TAU
 
     log = io.StringIO()
     with contextlib.redirect_stdout(log):

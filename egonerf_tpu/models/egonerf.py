@@ -341,7 +341,8 @@ class EgoNeRF:
     def forward(self, params, rays, key=None, is_train=False, n_coarse=128,
                 n_fine=128, exp_sampling=True, resampling=True,
                 use_coarse_sample=True, pretrain_envmap=False, white_bg=True,
-                ndc_ray=False, eval_keep=0, train_keep=0, **_):
+                ndc_ray=False, eval_keep=0, train_keep=0,
+                train_cull_tau=0.0, **_):
         """Render a (R, 6) ray batch.
 
         Returns dict(rgb, depth, bg, env, alpha).  ``key`` enables jitter +
@@ -410,16 +411,22 @@ class EgoNeRF:
             dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
             keep = int(train_keep if is_train else eval_keep)
             if keep and keep < z_vals.shape[-1]:
-                from ..ops.cull import (coarse_importance, select_top_k,
-                                        train_tiebreak)
+                from ..ops.cull import (coarse_importance, gumbel_perturb,
+                                        select_top_k, train_tiebreak)
 
                 score = coarse_importance(z_vals, coarse_z, c_weight)
                 if is_train and key is not None:
-                    # randomize which EMPTY samples survive each step (see
-                    # ops/cull.py:train_tiebreak); fold_in leaves the
-                    # k_coarse/k_pdf streams — and therefore the
-                    # train_keep=0 path — bit-identical
-                    score = train_tiebreak(score, jax.random.fold_in(key, 2))
+                    # randomize the kept set each step (see ops/cull.py);
+                    # fold_in leaves the k_coarse/k_pdf streams — and
+                    # therefore the train_keep=0 path — bit-identical
+                    k_cull = jax.random.fold_in(key, 2)
+                    if train_cull_tau > 0:
+                        # stochastic keep ∝ score (Gumbel-top-K): no
+                        # deterministically starved band
+                        score = gumbel_perturb(score, k_cull,
+                                               float(train_cull_tau))
+                    else:
+                        score = train_tiebreak(score, k_cull)
                 z_vals, dists = select_top_k(z_vals, dists, score, keep)
             xyz = rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
             norm = self.coordinates.normalize_coord(self.coordinates.from_cartesian(xyz))

@@ -75,6 +75,31 @@ def train_tiebreak(score: jnp.ndarray, key: jax.Array,
     return jnp.where(score < eps, eps * u, score + eps)
 
 
+def gumbel_perturb(score: jnp.ndarray, key: jax.Array, tau: float,
+                   floor: float = 1e-6) -> jnp.ndarray:
+    """Gumbel-top-K cull scores: stochastic keep ∝ score instead of a
+    deterministic cutoff.
+
+    Taking the K largest of ``log(score + floor) + tau*G`` (G standard
+    Gumbel) draws K samples WITHOUT replacement with probability
+    proportional to ``(score + floor)^(1/tau)`` (Kool et al.,
+    arXiv 1903.06059).  This kills the deterministic top-K cull's failure
+    mode (measured −3.2/−11.9 dB at keep 192/128, BASELINE.md cull
+    table): mid-training coarse weights are diffuse (~1/S each, far above
+    :func:`train_tiebreak`'s 1e-4 rotation threshold), so plain top-K
+    permanently starves every sample below the cutoff of gradient while
+    the shared VM factorization keeps drifting their densities.  Under
+    Gumbel scores every sample keeps a nonzero per-step keep probability;
+    once training concentrates weight on surfaces, the surface band is
+    kept near-certainly and the spare slots rotate uniformly over the
+    (equal-floor) empty samples — the exploration the tie-break provided,
+    without the starved band.
+    """
+    u = jax.random.uniform(key, score.shape, dtype=score.dtype)
+    g = -jnp.log(-jnp.log(u + 1e-12) + 1e-12)
+    return jnp.log(score + floor) + tau * g
+
+
 def select_top_k(z_vals: jnp.ndarray, dists: jnp.ndarray,
                  score: jnp.ndarray, k: int):
     """Keep the ``k`` highest-score samples per ray, depth order preserved.

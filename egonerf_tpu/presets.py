@@ -36,6 +36,12 @@ def production_overrides(**deltas) -> dict:
         # pre-registered A/B protocol in NOTES.md ("Pending: train_keep
         # headline decision"); bench.py's headline follows this value.
         train_keep=0,
+        # hybrid cull period: with train_keep on, every Mth step runs the
+        # full reference forward (train/config.py).  Gated on the same
+        # pre-registered A/B protocol as train_keep.
+        train_keep_full_every=0,
+        # Gumbel-top-K cull temperature (train/config.py); same gating.
+        train_cull_tau=0.0,
     )
     base.update(deltas)
     return base

@@ -66,7 +66,9 @@ def acquire_tpu_lock(wait_s: float | None = None) -> bool:
     crashed holder never wedges the queue).  Polls for up to
     ``$TPU_LOCK_WAIT_S`` (default 3600 s); on timeout it returns False and
     the caller proceeds anyway — accepting contention beats deadlocking an
-    unattended driver.  No-op (True) on non-axon platforms.
+    unattended driver.  No-op (True) on non-axon platforms.  The lock path
+    is overridable via ``$TPU_LOCK_PATH`` so tests never touch (or trip
+    over) the real chip lock a live experiment queue may hold.
     """
     global _TPU_LOCK_FD
     import fcntl
@@ -79,7 +81,8 @@ def acquire_tpu_lock(wait_s: float | None = None) -> bool:
         return True
     if wait_s is None:
         wait_s = float(os.environ.get("TPU_LOCK_WAIT_S", 3600))
-    fd = os.open("/tmp/egonerf_tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    path = os.environ.get("TPU_LOCK_PATH", "/tmp/egonerf_tpu.lock")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o666)
     deadline = time.monotonic() + wait_s
     while True:
         try:

@@ -166,6 +166,18 @@ class Config:
     # train_keep is a measured training deviation (BASELINE.md A/B).
     eval_keep: int = 0
     train_keep: int = 0
+    # with train_keep on, run every Mth step UNculled (the reference's
+    # full 256-evals/ray step).  The culled step starves dropped samples
+    # of gradient while the shared VM factorization keeps moving their
+    # densities — measured -3.2 dB at 3k iters (BASELINE.md cull table);
+    # the periodic full step sweeps that drift everywhere along every
+    # sampled ray.  0 = never (pure cull).
+    train_keep_full_every: int = 0
+    # Gumbel-top-K cull temperature (ops/cull.py:gumbel_perturb): > 0
+    # keeps samples stochastically ∝ score^(1/tau) instead of a
+    # deterministic cutoff, so no sample is ever starved of gradient.
+    # 0 = deterministic top-K with the randomized sub-threshold tie-break.
+    train_cull_tau: float = 0.0
 
 
 _FIELDS = {f.name: f for f in dataclasses.fields(Config)}

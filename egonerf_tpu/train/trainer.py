@@ -339,41 +339,58 @@ class Trainer:
             rays, rgbs = row[:, :6], row[:, 6:9]
             dyn = dyn_of(it)
 
-            def loss_fn(p):
-                if envmap_pretrain:
-                    out = model.forward(p, rays, pretrain_envmap=True)
-                    mse = jnp.mean((out["env"] - rgbs) ** 2)
-                    return mse, (mse, None)
-                out = model.forward(
-                    p, rays, key=key, is_train=True, n_coarse=cfg.n_coarse,
-                    n_fine=cfg.n_fine, exp_sampling=cfg.exp_sampling,
-                    resampling=resampling, use_coarse_sample=cfg.use_coarse_sample,
-                    white_bg=self.white_bg, ndc_ray=bool(cfg.ndc_ray),
-                    train_keep=cfg.train_keep)
-                mse = jnp.mean((out["rgb"] - rgbs) ** 2)
-                total = mse
-                if cfg.sparsity_lambda > 0:
-                    sp = model.sparsity_density(p, key, cfg.N_sparsity_points)
-                    loss_sp = 1.0 - jnp.mean(jnp.exp(-cfg.sparsity_length * sp))
-                    total = total + cfg.sparsity_lambda * loss_sp
-                if cfg.Ortho_weight > 0:
-                    total = total + cfg.Ortho_weight * model.vector_comp_diffs(p)
-                total = total + dyn["l1_w"] * model.density_l1(p)
-                if tv_on and cfg.TV_weight_density > 0:
-                    total = total + dyn["tv_density_w"] * model.tv_loss_density(p)
-                if tv_on and cfg.TV_weight_app > 0:
-                    total = total + dyn["tv_app_w"] * model.tv_loss_app(p)
-                if entropy_on and cfg.entropy_weight > 0:
-                    total = total + dyn["entropy_w"] * ray_entropy(out["alpha"])
-                if cfg.use_depth:
-                    depth_gt = row[:, 9]
-                    mask = (depth_gt != 0).astype(jnp.float32)
-                    dloss = jnp.sum(mask * (out["depth"] - depth_gt) ** 2) / (
-                        jnp.sum(mask) + 1e-8)
-                    total = total + dyn["depth_w"] * dloss
-                return total, (mse, None)
+            def make_loss_fn(keep: int):
+                def loss_fn(p):
+                    if envmap_pretrain:
+                        out = model.forward(p, rays, pretrain_envmap=True)
+                        mse = jnp.mean((out["env"] - rgbs) ** 2)
+                        return mse, (mse, None)
+                    out = model.forward(
+                        p, rays, key=key, is_train=True, n_coarse=cfg.n_coarse,
+                        n_fine=cfg.n_fine, exp_sampling=cfg.exp_sampling,
+                        resampling=resampling, use_coarse_sample=cfg.use_coarse_sample,
+                        white_bg=self.white_bg, ndc_ray=bool(cfg.ndc_ray),
+                        train_keep=keep, train_cull_tau=cfg.train_cull_tau)
+                    mse = jnp.mean((out["rgb"] - rgbs) ** 2)
+                    total = mse
+                    if cfg.sparsity_lambda > 0:
+                        sp = model.sparsity_density(p, key, cfg.N_sparsity_points)
+                        loss_sp = 1.0 - jnp.mean(jnp.exp(-cfg.sparsity_length * sp))
+                        total = total + cfg.sparsity_lambda * loss_sp
+                    if cfg.Ortho_weight > 0:
+                        total = total + cfg.Ortho_weight * model.vector_comp_diffs(p)
+                    total = total + dyn["l1_w"] * model.density_l1(p)
+                    if tv_on and cfg.TV_weight_density > 0:
+                        total = total + dyn["tv_density_w"] * model.tv_loss_density(p)
+                    if tv_on and cfg.TV_weight_app > 0:
+                        total = total + dyn["tv_app_w"] * model.tv_loss_app(p)
+                    if entropy_on and cfg.entropy_weight > 0:
+                        total = total + dyn["entropy_w"] * ray_entropy(out["alpha"])
+                    if cfg.use_depth:
+                        depth_gt = row[:, 9]
+                        mask = (depth_gt != 0).astype(jnp.float32)
+                        dloss = jnp.sum(mask * (out["depth"] - depth_gt) ** 2) / (
+                            jnp.sum(mask) + 1e-8)
+                        total = total + dyn["depth_w"] * dloss
+                    return total, (mse, None)
+                return loss_fn
 
-            (loss, (mse, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            vg_culled = jax.value_and_grad(make_loss_fn(cfg.train_keep),
+                                           has_aux=True)
+            if (cfg.train_keep and cfg.train_keep_full_every
+                    and not envmap_pretrain):
+                # hybrid cull: every Mth step runs the reference's full
+                # 256-evals/ray forward (train_keep=0) so densities the
+                # culled steps never touch — which drift as side effects
+                # of the shared VM factorization — get corrective
+                # gradient everywhere along every sampled ray.  Both
+                # branches compile once; only one executes per step.
+                vg_full = jax.value_and_grad(make_loss_fn(0), has_aux=True)
+                (loss, (mse, _)), grads = jax.lax.cond(
+                    it % cfg.train_keep_full_every == 0,
+                    vg_full, vg_culled, params)
+            else:
+                (loss, (mse, _)), grads = vg_culled(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, mse

@@ -254,3 +254,107 @@ def test_trainer_runs_with_train_keep(tmp_path):
     trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **ds),
                          SyntheticEgoDataset(split="test", is_stack=True, **ds))
     trainer.train()  # must not raise; losses (incl. entropy on K) all run
+
+
+def _mini_trainer(tmp_path, name, **toggles):
+    from egonerf_tpu.data.datasets import SyntheticEgoDataset
+    from egonerf_tpu.train.config import load_config
+    from egonerf_tpu.train.trainer import Trainer
+
+    cfg = load_config(overrides=dict(
+        expname=name, basedir=str(tmp_path), model_name="EgoNeRF",
+        coordinates_name="yinyang", exp_sampling=True, interval_th=True,
+        r0=0.05, resampling=True, use_coarse_sample=True,
+        dataset_name="synthetic", n_iters=12, batch_size=256,
+        n_coarse=16, n_fine=16, N_voxel_init=27_000, N_voxel_final=27_000,
+        n_lamb_sigma=[4, 4, 4], n_lamb_sh=[8, 8, 8],
+        near_far=[0.05, 8.5], sparsity_lambda=0.0,
+        N_vis=0, vis_list=[10**9], i_weights=10**9, steps_per_call=3,
+        progress_refresh_rate=6, eval_chunk=2048, seed=7, **toggles))
+    trainer = Trainer(cfg)
+    ds = dict(near_far=cfg.near_far, n_train=2, n_test=1, height=40, width=80)
+    trainer.set_datasets(SyntheticEgoDataset(split="train", is_stack=False, **ds),
+                         SyntheticEgoDataset(split="test", is_stack=True, **ds))
+    trainer.train()
+    return trainer.params
+
+
+def test_train_keep_full_every_one_is_the_uncull_path(tmp_path):
+    """With full_every=1 every step takes the lax.cond full branch, so the
+    hybrid trainer must reproduce the train_keep=0 trainer (same math,
+    same RNG streams).  Tolerance, not bit-identity: XLA compiles the
+    cond-wrapped branch with slightly different fusions than the inline
+    step (measured: 2/1296 elements a final-ulp apart after 12 steps on
+    the CPU mesh; bit-identical on TPU)."""
+    p_hybrid = _mini_trainer(tmp_path, "fe1", train_keep=24,
+                             train_keep_full_every=1)
+    p_plain = _mini_trainer(tmp_path, "plain", train_keep=0)
+    for a, b in zip(jax.tree_util.tree_leaves(p_hybrid),
+                    jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-4)
+
+
+def test_train_keep_full_every_period_mixes_both_branches(tmp_path):
+    """full_every=3 trains end to end and differs from BOTH the pure-cull
+    and the pure-full runs (each branch really executes on its steps)."""
+    p_hybrid = _mini_trainer(tmp_path, "fe3", train_keep=24,
+                             train_keep_full_every=3)
+    p_cull = _mini_trainer(tmp_path, "cull", train_keep=24)
+    p_full = _mini_trainer(tmp_path, "full", train_keep=0)
+    for leaves in (jax.tree_util.tree_leaves(p_cull),
+                   jax.tree_util.tree_leaves(p_full)):
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(p_hybrid), leaves))
+    for g in jax.tree_util.tree_leaves(p_hybrid):
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gumbel_perturb_keeps_every_sample_sometimes():
+    """Gumbel-top-K: the surface band is kept near-certainly, and even a
+    zero-score sample is kept a nonzero fraction of steps (the property
+    whose absence collapsed the deterministic cull, BASELINE.md table) —
+    with equal scores filling the spare slots uniformly."""
+    from egonerf_tpu.ops.cull import gumbel_perturb
+
+    # 4 "surface" samples with weight ~0.25 each, 28 empties at exactly 0
+    score = jnp.concatenate([jnp.full((1, 4), 0.25), jnp.zeros((1, 28))],
+                            axis=-1)
+    k = 12
+    kept_counts = np.zeros(32)
+    n_trials = 400
+    for seed in range(n_trials):
+        s = gumbel_perturb(score, jax.random.PRNGKey(seed), tau=1.0)
+        idx = np.asarray(jax.lax.top_k(s, k)[1])[0]
+        kept_counts[idx] += 1
+    # surface samples essentially always kept
+    assert (kept_counts[:4] > 0.99 * n_trials).all(), kept_counts[:4]
+    # every empty sample rotates in (8 spare slots over 28 empties ≈ 29%)
+    assert (kept_counts[4:] > 0.1 * n_trials).all(), kept_counts[4:].min()
+    assert (kept_counts[4:] < 0.6 * n_trials).all(), kept_counts[4:].max()
+
+
+def test_forward_with_gumbel_cull_runs_and_varies_kept_set():
+    """train_cull_tau > 0 changes WHICH samples the cull keeps (vs the
+    deterministic tie-break) but still returns K-shaped outputs with
+    finite gradients."""
+    model, params = make_model()
+    rays = random_rays(64, seed=21)
+    key = jax.random.PRNGKey(22)
+    kw = dict(key=key, is_train=True, n_coarse=32, n_fine=32, train_keep=40)
+    out_det = model.forward(params, rays, **kw)
+    out_gum = model.forward(params, rays, train_cull_tau=1.0, **kw)
+    assert out_gum["alpha"].shape[-1] == 40
+    assert np.isfinite(np.asarray(out_gum["rgb"])).all()
+    assert not np.allclose(np.asarray(out_det["depth"]),
+                           np.asarray(out_gum["depth"]))
+
+    def loss_fn(p):
+        out = model.forward(p, rays, train_cull_tau=1.0, **kw)
+        return jnp.mean(out["rgb"] ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(grads["density_planes"][0]).sum()) > 0

@@ -212,9 +212,13 @@ def test_tpu_chip_lock(monkeypatch, tmp_path):
     assert tools.acquire_tpu_lock() is True
     assert tools._TPU_LOCK_FD is None
 
-    # on-axon with the lock held elsewhere: bounded wait, then False
+    # on-axon with the lock held elsewhere: bounded wait, then False.
+    # A private lock path — the real /tmp lock may be legitimately held
+    # by a live experiment queue while the suite runs.
+    lock_path = str(tmp_path / "chip.lock")
+    monkeypatch.setenv("TPU_LOCK_PATH", lock_path)
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    holder = os.open("/tmp/egonerf_tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    holder = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o666)
     try:
         fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
         assert tools.acquire_tpu_lock(wait_s=0.1) is False
