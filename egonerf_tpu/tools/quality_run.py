@@ -38,14 +38,19 @@ def _run(preset: str, resume: bool = False) -> dict:
         # relay dying) resumes with --resume instead of starting over
         i_weights=2000,
     )
-    if preset == "refscale":
+    if preset in ("refscale", "refscale30k"):
+        n_iters = 30_000 if preset == "refscale30k" else 10_000
+        common["expname"] = preset  # separate artifact dirs per length
         cfg = load_config(overrides=production_overrides(
-            n_iters=10_000,
+            n_iters=n_iters,
             # near_far matched to the synthetic wall at radius 8 (measured
             # +0.07 dB vs sampling out to 15 — minor, but the matched range
             # is the honest configuration)
             near_far="[0.05, 8.5]",
-            N_vis=-1, vis_list="[10000]", **common))
+            N_vis=-1,
+            # 30k mirrors the round-2 record's 10k/20k/30k curve points
+            vis_list="[10000, 20000, 30000]" if n_iters > 10_000
+            else "[10000]", **common))
         ds = dict(n_train=12, n_test=2, height=1000, width=2000)
     elif preset == "tensorf":
         cfg = load_config(overrides=production_overrides(
