@@ -165,3 +165,56 @@ def test_sharded_culled_step_matches_single_device():
         losses8.append(float(l))
 
     np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+
+
+def test_sharded_gumbel_hybrid_step_matches_single_device():
+    """The Gumbel-keep step (train_cull_tau, ops/cull.py:gumbel_perturb)
+    plus the hybrid lax.cond full-step branch must be shard-invariant:
+    both the per-ray Gumbel draw and the cond predicate are functions of
+    the replicated key/iteration only, so the 8-way ray sharding must
+    reproduce single-device losses."""
+    model, params, rays, target = setup()
+    tx = optax.adam(1e-2)
+
+    def make_step():
+        def step(params, opt_state, rays, target, key, it):
+            def loss_at(keep):
+                def loss_fn(p):
+                    out = model.forward(p, rays, key=key, is_train=True,
+                                        n_coarse=16, n_fine=16,
+                                        train_keep=keep, train_cull_tau=1.0)
+                    return jnp.mean((out["rgb"] - target) ** 2)
+                return loss_fn
+
+            vg_culled = jax.value_and_grad(loss_at(24))
+            vg_full = jax.value_and_grad(loss_at(0))
+            loss, grads = jax.lax.cond(it % 2 == 0, vg_full, vg_culled, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    step1 = jax.jit(make_step())
+    p1, s1 = params, tx.init(params)
+    losses1 = []
+    for i in range(4):
+        p1, s1, l = step1(p1, s1, jnp.asarray(rays), jnp.asarray(target),
+                          jax.random.PRNGKey(i), jnp.int32(i))
+        losses1.append(float(l))
+
+    mesh = make_mesh(8)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    step8 = jax.jit(make_step(),
+                    in_shardings=(rep, rep, bs, bs, rep, rep),
+                    out_shardings=(rep, rep, rep))
+    p8 = replicate_tree(mesh, params)
+    s8 = replicate_tree(mesh, tx.init(params))
+    losses8 = []
+    for i in range(4):
+        p8, s8, l = step8(p8, s8, jax.device_put(rays, bs),
+                          jax.device_put(target, bs), jax.random.PRNGKey(i),
+                          jnp.int32(i))
+        losses8.append(float(l))
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
