@@ -39,8 +39,9 @@ def _run(preset: str, resume: bool = False) -> dict:
         i_weights=2000,
     )
     if preset in ("refscale", "refscale30k"):
+        # expname=preset in `common` already gives each length its own
+        # artifact dir
         n_iters = 30_000 if preset == "refscale30k" else 10_000
-        common["expname"] = preset  # separate artifact dirs per length
         cfg = load_config(overrides=production_overrides(
             n_iters=n_iters,
             # near_far matched to the synthetic wall at radius 8 (measured
