@@ -1,0 +1,187 @@
+"""Convert a reference PyTorch ``.th`` checkpoint into this framework's
+``.npz`` format — models trained with the upstream repo carry over
+without retraining.
+
+The reference pickles the live model into ``{kwargs, state_dict,
+global_step}`` (reference: models/tensorBase.py:270-282,
+models/EgoNeRF.py:158-172), where ``kwargs`` embeds the live
+``Coordinates`` object — so unpickling needs the reference package
+importable.  Point ``--reference`` at a checkout (default
+``/root/reference``); the tool fails with a clear error when absent.
+
+Scope: the EgoNeRF / yin-yang family (the repo's flagship).  Tensor
+layouts map exactly as in the numerical-parity tests
+(tests/test_reference_parity.py): per-chart ``(1, C, H, W)``
+ParameterLists -> stacked channel-last ``(2, H, W, C)``; lines
+``(1, C, L, 1)`` -> ``(2, L, C)``; Linear weights transpose; envmap
+``(3, 2h, h)`` -> ``(2h, h, 3)``; bit-packed alpha masks unpack to the
+framework's ``alpha_0``/``alpha_1`` (yin/yang) volumes.
+
+Usage:
+    python -m egonerf_tpu.tools.import_reference_ckpt ckpt.th out.npz \
+        [--reference=/root/reference]
+
+The output loads through the normal paths (``--ckpt out.npz`` or by
+placing it in the experiment folder for auto-resume / ``--evaluation 1``).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _load_reference_ckpt(path: str, reference: str):
+    if not os.path.isdir(reference):
+        raise SystemExit(
+            f"reference checkout not found at {reference!r} — the .th "
+            "pickles the live Coordinates object, so converting needs the "
+            "upstream package importable (pass --reference=/path/to/EgoNeRF)")
+    import torch
+
+    from .headtohead_reference import _stub_ref_deps
+
+    _stub_ref_deps()
+    sys.path.insert(0, reference)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        sys.path.pop(0)
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def convert(ckpt_path: str, out_path: str,
+            reference: str = "/root/reference") -> dict:
+    import jax
+
+    from ..coords import coords_from_spec
+    from ..models import model_meta
+    from ..models.egonerf import EgoNeRF, FieldConfig
+    from ..train.checkpoint import save_checkpoint
+
+    ckpt = _load_reference_ckpt(ckpt_path, reference)
+    kwargs, sd = ckpt["kwargs"], ckpt["state_dict"]
+
+    ref_coords = kwargs["coordinates"]
+    cname = type(ref_coords).__name__
+    if cname != "YinYangSphericalCoords":
+        raise SystemExit(
+            f"unsupported coordinates {cname!r}: this converter covers the "
+            "EgoNeRF yin-yang family (see tests/test_reference_parity.py "
+            "for the per-family layout maps a port would follow)")
+    if kwargs["shadingMode"] not in ("MLP_Fea", "MLP_PE", "MLP"):
+        raise SystemExit(
+            f"unsupported shadingMode {kwargs['shadingMode']!r} (SH/RGB "
+            "shading has no parameters to convert beyond the grids — open "
+            "an issue if you need it)")
+
+    aabb = np.asarray(kwargs["aabb"].cpu().numpy(), np.float32)
+    spec = {
+        "name": "yinyang",
+        "aabb": aabb.tolist(),
+        "resolution": [int(g) for g in kwargs["gridSize"]],
+        "exp_r": bool(ref_coords.exp_r),
+        "interval_th": bool(getattr(ref_coords, "interval_th", False)),
+        "r0": float(ref_coords.r0) if ref_coords.r0 is not None else None,
+    }
+    coords = coords_from_spec(spec)
+
+    cfg = FieldConfig(
+        density_n_comp=tuple(kwargs["density_n_comp"]),
+        app_n_comp=tuple(kwargs["appearance_n_comp"]),
+        app_dim=int(kwargs["app_dim"]),
+        shading_mode=kwargs["shadingMode"],
+        pos_pe=int(kwargs["pos_pe"]), view_pe=int(kwargs["view_pe"]),
+        fea_pe=int(kwargs["fea_pe"]), feature_c=int(kwargs["featureC"]),
+        density_shift=float(kwargs["density_shift"]),
+        distance_scale=float(kwargs["distance_scale"]),
+        fea2dense_act=kwargs["fea2denseAct"],
+        ray_march_weight_thres=float(kwargs["rayMarch_weight_thres"]),
+        alpha_mask_thres=float(kwargs["alphaMask_thres"]),
+        step_ratio=float(kwargs["step_ratio"]),
+        use_envmap=bool(kwargs.get("use_envmap")),
+        envmap_res_h=int(ckpt.get("envmap_res_H", 1000)),
+    )
+    near_far = [float(v) for v in kwargs["near_far"]]
+    model = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
+    params = dict(model.init_params(jax.random.PRNGKey(0)))
+
+    def take(key, expect_shape):
+        arr = _np(sd[key])
+        if tuple(arr.shape) != tuple(expect_shape):
+            raise SystemExit(f"{key}: reference shape {arr.shape} != "
+                             f"expected {tuple(expect_shape)}")
+        return arr
+
+    for i in range(3):
+        for name in ("density", "app"):
+            ours_p = np.asarray(params[f"{name}_planes"][i])  # (2,H,W,C)
+            ours_l = np.asarray(params[f"{name}_lines"][i])   # (2,L,C)
+            h, w, c = ours_p.shape[1:]
+            l = ours_l.shape[1]
+            plane = np.stack([
+                take(f"{name}_plane_yin.{i}", (1, c, h, w))[0].transpose(1, 2, 0),
+                take(f"{name}_plane_yang.{i}", (1, c, h, w))[0].transpose(1, 2, 0)])
+            line = np.stack([
+                take(f"{name}_line_yin.{i}", (1, c, l, 1))[0, :, :, 0].T,
+                take(f"{name}_line_yang.{i}", (1, c, l, 1))[0, :, :, 0].T])
+            params[f"{name}_planes"] = list(params[f"{name}_planes"])
+            params[f"{name}_lines"] = list(params[f"{name}_lines"])
+            params[f"{name}_planes"][i] = plane
+            params[f"{name}_lines"][i] = line
+
+    basis = np.asarray(params["basis"])
+    params["basis"] = np.stack([
+        take("basis_mat_yin.weight", basis.shape[1:][::-1]).T,
+        take("basis_mat_yang.weight", basis.shape[1:][::-1]).T])
+
+    shader = {k: dict(v) for k, v in params["shader"].items()}
+    for idx, key in zip((0, 2, 4), ("l1", "l2", "l3")):
+        w = np.asarray(shader[key]["w"])
+        shader[key]["w"] = take(f"renderModule.mlp.{idx}.weight", w.shape[::-1]).T
+        shader[key]["b"] = take(f"renderModule.mlp.{idx}.bias", shader[key]["b"].shape)
+    params["shader"] = shader
+
+    if cfg.use_envmap:
+        em = np.asarray(ckpt["envmap.emission"], np.float32)  # (3, 2h, h)
+        params["envmap"] = em.transpose(1, 2, 0)
+
+    masks = None
+    if "alphaMask_yin.shape" in ckpt:
+        masks = {}
+        for j, chart in enumerate(("yin", "yang")):
+            shape = ckpt[f"alphaMask_{chart}.shape"]
+            n = int(np.prod(shape))
+            masks[f"alpha_{j}"] = (np.unpackbits(ckpt[f"alphaMask_{chart}.mask"])
+                                   [:n].reshape(shape).astype(bool))
+
+    save_checkpoint(out_path, params,
+                    global_step=int(ckpt.get("global_step", 0)),
+                    coords_spec=coords.to_spec(),
+                    model_meta=model_meta(None, model),
+                    alpha_masks=masks)
+    return {"out": out_path, "global_step": int(ckpt.get("global_step", 0)),
+            "resolution": spec["resolution"],
+            "use_envmap": cfg.use_envmap,
+            "alpha_masks": bool(masks)}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    reference = "/root/reference"
+    for a in sys.argv[1:]:
+        if a.startswith("--reference="):
+            reference = a.split("=", 1)[1]
+    import json
+
+    print(json.dumps(convert(args[0], args[1], reference)))
+
+
+if __name__ == "__main__":
+    main()

@@ -782,3 +782,47 @@ def test_rgb_ssim_matches_reference(ref_modules):
     ours = rgb_ssim(a, b)
     theirs = float(ref_rgb_ssim(a, b, max_val=1.0))
     assert abs(ours - theirs) < 1e-8, (ours, theirs)
+
+
+def test_import_reference_checkpoint_roundtrip(ref_modules, tmp_path):
+    """tools/import_reference_ckpt: a reference ``.th`` converts to this
+    framework's npz with EXACTLY the weights the reference held.  Uses
+    build_pair's identical-weights models: ours -> ref (the tested copy),
+    ref.save() -> convert -> restore must reproduce ours bit-for-bit, and
+    a forward through the restored pytree must equal the original."""
+    import jax
+    import jax.numpy as jnp
+
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params
+
+    ours, params, ref = build_pair(ref_modules, use_envmap=True,
+                                   envmap_res_h=8)
+    th_path = str(tmp_path / "ref.th")
+    ref.save(th_path, global_step=777)
+
+    out_path = str(tmp_path / "imported.npz")
+    info = convert(th_path, out_path, reference=REF)
+    assert info["global_step"] == 777
+    assert info["use_envmap"] is True
+    assert info["resolution"] == list(ours.coordinates.resolution)
+
+    template = ours.init_params(jax.random.PRNGKey(9))  # different weights
+    restored, header, masks = restore_params(template, out_path)
+    assert header["coords_spec"]["name"] == "yinyang"
+    assert not masks
+
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(restored)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+    rays = jnp.asarray(rays_fixture())
+    out_orig = ours.forward(params, rays, key=None, is_train=False,
+                            n_coarse=16, n_fine=16)
+    out_rest = ours.forward(restored, rays, key=None, is_train=False,
+                            n_coarse=16, n_fine=16)
+    np.testing.assert_array_equal(np.asarray(out_orig["rgb"]),
+                                  np.asarray(out_rest["rgb"]))
