@@ -826,3 +826,39 @@ def test_import_reference_checkpoint_roundtrip(ref_modules, tmp_path):
                             n_coarse=16, n_fine=16)
     np.testing.assert_array_equal(np.asarray(out_orig["rgb"]),
                                   np.asarray(out_rest["rgb"]))
+
+
+def test_export_import_reference_checkpoint_full_circle(ref_modules, tmp_path):
+    """tools/export_reference_ckpt -> import_reference_ckpt is the
+    identity: our npz exports to the reference's .th format and converts
+    back with every tensor bit-exact (proving BOTH directions of the
+    layout mapping against each other)."""
+    import jax
+
+    from egonerf_tpu.models import model_meta
+    from egonerf_tpu.tools.export_reference_ckpt import export
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params, save_checkpoint
+
+    ours, params, _ = build_pair(ref_modules, use_envmap=True, envmap_res_h=8)
+    npz1 = str(tmp_path / "ours.npz")
+    save_checkpoint(npz1, params, global_step=55,
+                    coords_spec=ours.coordinates.to_spec(),
+                    model_meta=model_meta(None, ours))
+
+    th = str(tmp_path / "exported.th")
+    info = export(npz1, th, reference=REF, near_far=[0.05, 4.0])
+    assert info["global_step"] == 55 and info["use_envmap"]
+
+    npz2 = str(tmp_path / "roundtrip.npz")
+    convert(th, npz2, reference=REF)
+
+    template = ours.init_params(jax.random.PRNGKey(3))
+    restored, header, _ = restore_params(template, npz2)
+    assert header["global_step"] == 55
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(restored)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
