@@ -9,7 +9,8 @@ models/EgoNeRF.py:158-172), where ``kwargs`` embeds the live
 importable.  Point ``--reference`` at a checkout (default
 ``/root/reference``); the tool fails with a clear error when absent.
 
-Scope: the EgoNeRF / yin-yang family (the repo's flagship).  Tensor
+Scope: the EgoNeRF / yin-yang family (the repo's flagship) and the
+TensorVMSplit baseline (any coordinate chart).  Tensor
 layouts map exactly as in the numerical-parity tests
 (tests/test_reference_parity.py): per-chart ``(1, C, H, W)``
 ParameterLists -> stacked channel-last ``(2, H, W, C)``; lines
@@ -68,11 +69,22 @@ def convert(ckpt_path: str, out_path: str,
 
     ref_coords = kwargs["coordinates"]
     cname = type(ref_coords).__name__
-    if cname != "YinYangSphericalCoords":
+    # the .th stores no model-class name (the reference's render_test gets
+    # it from the CONFIG via eval(), train.py:55) — detect from the
+    # state_dict's parameter layout
+    if "density_plane_yin.0" in sd:
+        family = "EgoNeRF"
+    elif "density_plane.0" in sd and "density_line.0" in sd:
+        family = "TensorVMSplit"
+    else:
         raise SystemExit(
-            f"unsupported coordinates {cname!r}: this converter covers the "
-            "EgoNeRF yin-yang family (see tests/test_reference_parity.py "
-            "for the per-family layout maps a port would follow)")
+            "unsupported checkpoint layout: this converter covers EgoNeRF "
+            "(yin-yang) and TensorVMSplit; the fused TensorVM / TensorCP "
+            "layout maps are in tests/test_reference_parity.py if a port "
+            "is needed")
+    if family == "EgoNeRF" and cname != "YinYangSphericalCoords":
+        raise SystemExit(f"EgoNeRF checkpoint with coordinates {cname!r} "
+                         "is not supported (yinyang only)")
     if kwargs["shadingMode"] not in ("MLP_Fea", "MLP_PE", "MLP"):
         raise SystemExit(
             f"unsupported shadingMode {kwargs['shadingMode']!r} (SH/RGB "
@@ -81,13 +93,27 @@ def convert(ckpt_path: str, out_path: str,
 
     aabb = np.asarray(kwargs["aabb"].cpu().numpy(), np.float32)
     spec = {
-        "name": "yinyang",
+        "name": "yinyang" if family == "EgoNeRF" else type(ref_coords).__name__,
         "aabb": aabb.tolist(),
         "resolution": [int(g) for g in kwargs["gridSize"]],
-        "exp_r": bool(ref_coords.exp_r),
+        "exp_r": bool(getattr(ref_coords, "exp_r", False)),
         "interval_th": bool(getattr(ref_coords, "interval_th", False)),
-        "r0": float(ref_coords.r0) if ref_coords.r0 is not None else None,
+        "r0": (float(ref_coords.r0)
+               if getattr(ref_coords, "r0", None) is not None else None),
     }
+    if family == "TensorVMSplit":
+        name_map = {"CartesianCoords": "xyz",
+                    "GenericSphericalCoords": "generic_sphere",
+                    "SphericalCoords": "sphere",
+                    "BalancedSphericalCoords": "balanced_sphere",
+                    "DirectionalSphericalCoords": "directional_sphere",
+                    "DirectionalBalancedSphericalCoords":
+                        "directional_balanced_sphere",
+                    "EulerSphericalCoords": "euler_sphere",
+                    "CylinderCoords": "cylinder"}
+        if cname not in name_map:
+            raise SystemExit(f"unknown coordinates class {cname!r}")
+        spec["name"] = name_map[cname]
     coords = coords_from_spec(spec)
 
     cfg = FieldConfig(
@@ -107,7 +133,14 @@ def convert(ckpt_path: str, out_path: str,
         envmap_res_h=int(ckpt.get("envmap_res_H", 1000)),
     )
     near_far = [float(v) for v in kwargs["near_far"]]
-    model = EgoNeRF(aabb, coords.resolution, coords, cfg, near_far=near_far)
+    if family == "EgoNeRF":
+        model = EgoNeRF(aabb, coords.resolution, coords, cfg,
+                        near_far=near_far)
+    else:
+        from ..models.tensorf import TensorVMSplit
+
+        model = TensorVMSplit(aabb, coords.resolution, coords, cfg,
+                              near_far=near_far)
     params = dict(model.init_params(jax.random.PRNGKey(0)))
 
     def take(key, expect_shape):
@@ -119,25 +152,36 @@ def convert(ckpt_path: str, out_path: str,
 
     for i in range(3):
         for name in ("density", "app"):
-            ours_p = np.asarray(params[f"{name}_planes"][i])  # (2,H,W,C)
-            ours_l = np.asarray(params[f"{name}_lines"][i])   # (2,L,C)
+            ours_p = np.asarray(params[f"{name}_planes"][i])  # (S,H,W,C)
+            ours_l = np.asarray(params[f"{name}_lines"][i])   # (S,L,C)
             h, w, c = ours_p.shape[1:]
             l = ours_l.shape[1]
-            plane = np.stack([
-                take(f"{name}_plane_yin.{i}", (1, c, h, w))[0].transpose(1, 2, 0),
-                take(f"{name}_plane_yang.{i}", (1, c, h, w))[0].transpose(1, 2, 0)])
-            line = np.stack([
-                take(f"{name}_line_yin.{i}", (1, c, l, 1))[0, :, :, 0].T,
-                take(f"{name}_line_yang.{i}", (1, c, l, 1))[0, :, :, 0].T])
+            if family == "EgoNeRF":
+                plane = np.stack([
+                    take(f"{name}_plane_yin.{i}",
+                         (1, c, h, w))[0].transpose(1, 2, 0),
+                    take(f"{name}_plane_yang.{i}",
+                         (1, c, h, w))[0].transpose(1, 2, 0)])
+                line = np.stack([
+                    take(f"{name}_line_yin.{i}", (1, c, l, 1))[0, :, :, 0].T,
+                    take(f"{name}_line_yang.{i}", (1, c, l, 1))[0, :, :, 0].T])
+            else:
+                plane = take(f"{name}_plane.{i}",
+                             (1, c, h, w))[0].transpose(1, 2, 0)[None]
+                line = take(f"{name}_line.{i}",
+                            (1, c, l, 1))[0, :, :, 0].T[None]
             params[f"{name}_planes"] = list(params[f"{name}_planes"])
             params[f"{name}_lines"] = list(params[f"{name}_lines"])
             params[f"{name}_planes"][i] = plane
             params[f"{name}_lines"][i] = line
 
     basis = np.asarray(params["basis"])
-    params["basis"] = np.stack([
-        take("basis_mat_yin.weight", basis.shape[1:][::-1]).T,
-        take("basis_mat_yang.weight", basis.shape[1:][::-1]).T])
+    if family == "EgoNeRF":
+        params["basis"] = np.stack([
+            take("basis_mat_yin.weight", basis.shape[1:][::-1]).T,
+            take("basis_mat_yang.weight", basis.shape[1:][::-1]).T])
+    else:
+        params["basis"] = take("basis_mat.weight", basis.shape[::-1]).T
 
     shader = {k: dict(v) for k, v in params["shader"].items()}
     for idx, key in zip((0, 2, 4), ("l1", "l2", "l3")):
@@ -158,6 +202,14 @@ def convert(ckpt_path: str, out_path: str,
             n = int(np.prod(shape))
             masks[f"alpha_{j}"] = (np.unpackbits(ckpt[f"alphaMask_{chart}.mask"])
                                    [:n].reshape(shape).astype(bool))
+    elif "alphaMask.shape" in ckpt:  # single-grid TensoRF family
+        # the reference stores the (1,1,D,H,W) grid_sample view; only the
+        # last 3 dims are the volume (its loader does view(1,1,*shape[-3:]),
+        # reference: models/tensorBase.py:43-47,287-291)
+        shape = tuple(ckpt["alphaMask.shape"])[-3:]
+        n = int(np.prod(shape))
+        masks = {"alpha_0": (np.unpackbits(ckpt["alphaMask.mask"])
+                             [:n].reshape(shape).astype(bool))}
 
     save_checkpoint(out_path, params,
                     global_step=int(ckpt.get("global_step", 0)),

@@ -862,3 +862,83 @@ def test_export_import_reference_checkpoint_full_circle(ref_modules, tmp_path):
         assert str(pa) == str(pb)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(pa))
+
+
+def test_import_tensorvmsplit_checkpoint_roundtrip(ref_modules, tmp_path):
+    """import_reference_ckpt also converts the TensorVMSplit baseline
+    (single-grid cartesian layout + single-volume alpha mask)."""
+    import jax
+
+    sys.path.insert(0, REF)
+    try:
+        from models.coordinates import CartesianCoords as RefCart
+        from models.tensoRF import TensorVMSplit as RefVMSplit
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.coords.cartesian import CartesianCoords
+    from egonerf_tpu.models.egonerf import FieldConfig
+    from egonerf_tpu.models.tensorf import TensorVMSplit
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params
+
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    reso = [20, 22, 24]
+    coords = CartesianCoords(aabb)
+    coords.set_resolution(reso)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                      app_dim=12, shading_mode="MLP_Fea", view_pe=2, fea_pe=2,
+                      feature_c=32, density_shift=-8.0, step_ratio=0.5)
+    ours = TensorVMSplit(aabb, reso, coords, cfg, near_far=[0.5, 3.0])
+    params = ours.init_params(jax.random.PRNGKey(11))
+
+    ref_coords = RefCart("cpu", torch.tensor(aabb))
+    ref = RefVMSplit(
+        torch.tensor(aabb), reso, "cpu", ref_coords,
+        density_n_comp=[4, 4, 4], appearance_n_comp=[8, 8, 8], app_dim=12,
+        near_far=[0.5, 3.0], shadingMode="MLP_Fea", density_shift=-8,
+        distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+        fea2denseAct="softplus", step_ratio=0.5)
+
+    def to_t(a):
+        return torch.tensor(np.asarray(a))
+
+    with torch.no_grad():
+        for i in range(3):
+            for name in ("density", "app"):
+                getattr(ref, f"{name}_plane")[i].copy_(to_t(
+                    np.asarray(params[f"{name}_planes"][i])[0].transpose(2, 0, 1)[None]))
+                getattr(ref, f"{name}_line")[i].copy_(to_t(
+                    np.asarray(params[f"{name}_lines"][i])[0].T[None, :, :, None]))
+        ref.basis_mat.weight.copy_(to_t(np.asarray(params["basis"]).T))
+        sh = params["shader"]
+        for layer, key in zip((ref.renderModule.mlp[0], ref.renderModule.mlp[2],
+                               ref.renderModule.mlp[4]), ("l1", "l2", "l3")):
+            layer.weight.copy_(to_t(np.asarray(sh[key]["w"]).T))
+            layer.bias.copy_(to_t(np.asarray(sh[key]["b"])))
+    # a single-volume alpha mask rides along
+    vol = (np.arange(4 * 5 * 6).reshape(4, 5, 6) % 3 == 0)
+    from models.tensorBase import AlphaGridMask  # noqa: E402 (REF on path above)
+    sys.path.insert(0, REF)
+    try:
+        ref.alphaMask = AlphaGridMask(
+            "cpu", torch.from_numpy(vol.astype(np.float32)))
+    finally:
+        sys.path.pop(0)
+
+    th = str(tmp_path / "vmsplit.th")
+    ref.save(th, global_step=123)
+    out = str(tmp_path / "vmsplit.npz")
+    info = convert(th, out, reference=REF)
+    assert info["global_step"] == 123 and info["resolution"] == reso
+
+    template = ours.init_params(jax.random.PRNGKey(12))
+    restored, header, masks = restore_params(template, out)
+    assert header["coords_spec"]["name"] == "xyz"
+    np.testing.assert_array_equal(masks["alpha_0"], vol)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(restored)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
