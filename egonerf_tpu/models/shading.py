@@ -7,6 +7,7 @@ map straight onto the MXU.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -14,6 +15,39 @@ import jax.numpy as jnp
 
 from ..ops.pe import positional_encoding
 from ..ops.sh import eval_sh_bases
+
+# Bias-grad-as-dot toggle: XLA lowers the transpose of `x + b` to a
+# column reduction over the (N, C) cotangent, which the production-step
+# profile shows running ~4x off the read roofline (the `fusion ->
+# (f32[128]` rows in tools/profile_step.py output).  With this toggle the
+# bias add carries a custom VJP whose db is a ones-vector dot_general —
+# the same sum, contracted on the MXU's f32 accumulator.  Forward is
+# untouched (bit-identical); db reorders the f32 summation (epsilon).
+_BIAS_DOT = _os.environ.get("EGONERF_BIAS_DOT", "0") == "1"
+
+
+@jax.custom_vjp
+def _bias_add(x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return x + b
+
+
+def _bias_add_fwd(x, b):
+    return x + b, None
+
+
+def _bias_add_bwd(_, dout):
+    do2 = dout.reshape(-1, dout.shape[-1])
+    ones = jnp.ones((do2.shape[0],), do2.dtype)
+    db = jax.lax.dot_general(ones, do2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dout, db.astype(dout.dtype)
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
+def _add_bias(x, b):
+    return _bias_add(x, b) if _BIAS_DOT else x + b
 
 
 def _linear_init(key, n_in: int, n_out: int, with_bias=True, zero_bias=False):
@@ -30,9 +64,9 @@ def _linear_init(key, n_in: int, n_out: int, with_bias=True, zero_bias=False):
 
 def _mlp3_apply(params, x, mm=None):
     mm = mm or (lambda a, b: a @ b)
-    h = jnp.maximum(mm(x, params["l1"]["w"]) + params["l1"]["b"], 0.0)
-    h = jnp.maximum(mm(h, params["l2"]["w"]) + params["l2"]["b"], 0.0)
-    return mm(h, params["l3"]["w"]) + params["l3"]["b"]
+    h = jnp.maximum(_add_bias(mm(x, params["l1"]["w"]), params["l1"]["b"]), 0.0)
+    h = jnp.maximum(_add_bias(mm(h, params["l2"]["w"]), params["l2"]["b"]), 0.0)
+    return _add_bias(mm(h, params["l3"]["w"]), params["l3"]["b"])
 
 
 def _mlp3_init(key, n_in, hidden):
