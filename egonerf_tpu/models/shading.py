@@ -23,6 +23,9 @@ from ..ops.sh import eval_sh_bases
 # bias add carries a custom VJP whose db is a ones-vector dot_general —
 # the same sum, contracted on the MXU's f32 accumulator.  Forward is
 # untouched (bit-identical); db reorders the f32 summation (epsilon).
+# Measured in situ (BENCH_QUICK, v5e, r3): 140.6 ms/step vs 140.9 off —
+# NEUTRAL; the bias-grad reductions are too small a bill for the 4x
+# inefficiency to matter.  Kept opt-in for re-checks.
 _BIAS_DOT = _os.environ.get("EGONERF_BIAS_DOT", "0") == "1"
 
 
