@@ -27,6 +27,22 @@ from ..ops.sh import eval_sh_bases
 # NEUTRAL; the bias-grad reductions are too small a bill for the 4x
 # inefficiency to matter.  Kept opt-in for re-checks.
 _BIAS_DOT = _os.environ.get("EGONERF_BIAS_DOT", "0") == "1"
+# Concat-free first MLP layer: MLP_Fea's input is concat([features,
+# viewdirs, pe(features), pe(viewdirs)]) — at the production shape a
+# bf16[4096,256,150] concatenate (1.9 ms/step) plus layout copies feeding
+# it and a matching backward split (profile r4, the 'shader MLP + PE'
+# family).  Since concat(x_i) @ W == sum_i x_i @ W_i for row slices W_i of
+# W, the first layer can consume each part directly and never materialize
+# the concat; the parameter layout is unchanged (W is sliced at apply
+# time), forward/backward reorder f32 summation only (one partial-sum per
+# part instead of one fused dot) — parity pinned by
+# tests/test_model.py::test_split_l1_matches_concat_mlp.  In-situ r4
+# 4-way ablation (BENCH_QUICK, p50 ms): split alone 143.8 vs 140.6 off,
+# and 140.3 vs 137.5 on top of the flat unpack — the four small matmuls
+# LOSE to one fused 150-col dot (MXU pipelines one big contraction better
+# than it overlaps four partial sums).  OFF by default; kept opt-in for
+# re-checks.  Table: BASELINE.md round-4.
+_SPLIT_L1 = _os.environ.get("EGONERF_SPLIT_L1", "0") == "1"
 
 
 @jax.custom_vjp
@@ -72,6 +88,22 @@ def _mlp3_apply(params, x, mm=None):
     return _add_bias(mm(h, params["l3"]["w"]), params["l3"]["b"])
 
 
+def _mlp3_apply_parts(params, parts, mm=None):
+    """First layer as a sum of per-part matmuls against row slices of l1.w
+    — the concat never materializes (see the ``_SPLIT_L1`` note)."""
+    mm = mm or (lambda a, b: a @ b)
+    w1 = params["l1"]["w"]
+    h, off = None, 0
+    for p in parts:
+        d = p.shape[-1]
+        term = mm(p, w1[off : off + d])
+        h = term if h is None else h + term
+        off += d
+    h = jnp.maximum(_add_bias(h, params["l1"]["b"]), 0.0)
+    h = jnp.maximum(_add_bias(mm(h, params["l2"]["w"]), params["l2"]["b"]), 0.0)
+    return _add_bias(mm(h, params["l3"]["w"]), params["l3"]["b"])
+
+
 def _mlp3_init(key, n_in, hidden):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -108,6 +140,8 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
                 parts.append(positional_encoding(features, fea_pe))
             if view_pe > 0:
                 parts.append(positional_encoding(viewdirs, view_pe))
+            if _SPLIT_L1:
+                return jax.nn.sigmoid(_mlp3_apply_parts(params, parts, matmul))
             return jax.nn.sigmoid(_mlp3_apply(params, jnp.concatenate(parts, axis=-1), matmul))
 
         return Shader(init, apply, mode)

@@ -121,6 +121,25 @@ _COMBINE_MM_PAD = _os.environ.get("EGONERF_COMBINE_MM_PAD", "1") == "1"
 # measured NEUTRAL in-situ (140.8 ms both ways — the line dots are too
 # small a bill for lane occupancy to matter).  Kept opt-in for re-checks.
 _HAT_PAD = _os.environ.get("EGONERF_HAT_PAD", "0") == "1"
+# Flat-row unpack of the scatter-VJP corner cotangents: the packed scatter
+# result (R, 4C) must collapse its 4 shifted corner copies back into the
+# (S, H, W, C) parameter gradient.  The original formulation reshaped to
+# (S, H, W, 4, C) — a minor-axis layout transpose XLA lowers to an f32
+# convert-copy + data movement of the whole 181 MB buffer — and routed the
+# shifted adds through pad/dynamic-update-slice chains (~9.4 ms/step
+# family total, profile r4).  In row-major (S, H*W, C) space a corner
+# shift of (dy, dx) is a shift of dy*W+dx ROWS, so the unpack becomes
+# static channel slices + row-shifted adds on the scatter's NATIVE layout;
+# the chart/y/x edge clamps fold into constant 0/1 masks and same-row add
+# terms.  f32 value flow and summation order are identical to the old
+# expression (masks multiply by exact 0/1) — bit-exact, pinned by
+# tests/test_ops.py.  "pad" selects the stencil sub-variant: one zero-pad
+# of the packed buffer, every shifted term a static window of it (adds
+# fuse with no per-term materialization; edge association reorders f32 by
+# epsilon).  In-situ numbers: BASELINE.md round-4 table.
+_UNPACK_MODE = _os.environ.get("EGONERF_UNPACK_FLAT", "1")
+_UNPACK_FLAT = _UNPACK_MODE != "0"
+_UNPACK_PAD = _UNPACK_MODE == "pad"
 
 
 def _onehot(idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
@@ -209,6 +228,69 @@ def _unshift_l(g):
     z = jnp.zeros_like(g)
     z = z.at[:, 1:].set(g[:, :-1])
     return z.at[:, -1].add(g[:, -1])
+
+
+def _unpack_plane_grads(gpacked, s: int, h: int, w: int, c: int):
+    """Collapse packed corner cotangents (S*H*W, 4C) -> (S, H, W, C).
+
+    The adjoint of :func:`pack_plane`: corner k held the plane value at
+    (y+dy_k, x+dx_k) (edge-clamped), so its cotangent routes BACK by the
+    same shift.  See the ``_UNPACK_FLAT`` note at the top of this file for
+    why this runs as row shifts on the scatter's native layout."""
+    if not _UNPACK_FLAT:
+        g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
+        return (g[..., 0, :] + _unshift_x(g[..., 1, :])
+                + _unshift_y(g[..., 2, :]) + _unshift_x(_unshift_y(g[..., 3, :])))
+    if _UNPACK_PAD:
+        # stencil form: ONE (w+1)-row zero-pad of the packed buffer, then
+        # every shifted term is a static offset window of that single
+        # buffer — adds fuse over aligned slices with no per-term
+        # materialization.  Edge clamps stay as same-row mask terms.
+        g = gpacked.reshape(s, h * w, 4 * c)
+        gp = jnp.pad(g, ((0, 0), (w + 1, 0), (0, 0)))
+        n = h * w
+        xs = np.arange(n) % w
+        ys = np.arange(n) // w
+        not_x0 = jnp.asarray((xs != 0).astype(np.float32))[None, :, None]
+        x_last = jnp.asarray((xs == w - 1).astype(np.float32))[None, :, None]
+        y_last = jnp.asarray((ys == h - 1).astype(np.float32))[None, :, None]
+        not_x0_ylast = not_x0 * y_last
+
+        def win(off, k):  # rows shifted down by `off`, corner k, f32
+            return jax.lax.dynamic_slice_in_dim(
+                gp[..., k * c : (k + 1) * c], w + 1 - off, n, axis=1
+            ).astype(jnp.float32)
+
+        out = (win(0, 0)
+               + win(1, 1) * not_x0 + win(0, 1) * x_last
+               + win(w, 2) + win(0, 2) * y_last
+               + win(w + 1, 3) * not_x0 + win(w, 3) * x_last
+               + win(1, 3) * not_x0_ylast + win(0, 3) * (x_last * y_last))
+        return out.reshape(s, h, w, c)
+    g = gpacked.reshape(s, h * w, 4 * c)
+    g0 = g[..., 0 * c : 1 * c].astype(jnp.float32)
+    g1 = g[..., 1 * c : 2 * c].astype(jnp.float32)
+    g2 = g[..., 2 * c : 3 * c].astype(jnp.float32)
+    g3 = g[..., 3 * c : 4 * c].astype(jnp.float32)
+    # row-position masks over the flattened (y, x) raster — constants, so
+    # they fold into the fused elementwise adds
+    xs = np.arange(h * w) % w
+    ys = np.arange(h * w) // w
+    not_x0 = jnp.asarray((xs != 0).astype(np.float32))[None, :, None]
+    x_last = jnp.asarray((xs == w - 1).astype(np.float32))[None, :, None]
+    y_last = jnp.asarray((ys == h - 1).astype(np.float32))[None, :, None]
+
+    def ushx(v):  # adjoint of the x+1 edge-clamped shift, flat rows
+        shifted = jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+        return shifted * not_x0 + v * x_last
+
+    def ushy(v):  # adjoint of the y+1 shift: first y-row zeros fall out of
+        # the w-row concat; the clamp adds the last y-row back onto itself
+        shifted = jnp.concatenate([jnp.zeros_like(v[:, :w]), v[:, :-w]], axis=1)
+        return shifted + v * y_last
+
+    out = g0 + ushx(g1) + ushy(g2) + ushx(ushy(g3))
+    return out.reshape(s, h, w, c)
 
 
 def pack_plane(plane: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -371,10 +453,7 @@ def _plane_bwd(res, dout):
     idx, weights, (s, h, w, c) = res
     corner = _corner_cotangents(weights, dout, 4, c)
     gpacked = _scatter_chunked(idx, corner, s * h * w)
-    g = gpacked.reshape(s, h, w, 4, c)
-    dplane = (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
-              + _unshift_x(_unshift_y(g[..., 3, :])))
-    return dplane, None, None, None  # no grads for x, y, sel
+    return _unpack_plane_grads(gpacked, s, h, w, c), None, None, None
 
 
 sample_plane_packed.defvjp(_plane_fwd, _plane_bwd)
@@ -401,19 +480,14 @@ def _plane_bwd_bf16(res, dout):
     if not _PLANE_SORTED_SCATTER:
         corner = _corner_cotangents(weights, dout, 4, c).astype(jnp.bfloat16)
         gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[idx].add(corner)
-        g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
-        return (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
-                + _unshift_x(_unshift_y(g[..., 3, :]))), None, None, None
+        return _unpack_plane_grads(gpacked, s, h, w, c), None, None, None
     order = jnp.argsort(idx)
     corner = (weights[order][:, :, None]
               * dout[order][:, None, :].astype(jnp.float32)).reshape(
         idx.shape[0], 4 * c).astype(jnp.bfloat16)
     gpacked = jnp.zeros((s * h * w, 4 * c), jnp.bfloat16).at[
         jnp.take(idx, order)].add(corner, indices_are_sorted=True)
-    g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
-    dplane = (g[..., 0, :] + _unshift_x(g[..., 1, :]) + _unshift_y(g[..., 2, :])
-              + _unshift_x(_unshift_y(g[..., 3, :])))
-    return dplane, None, None, None
+    return _unpack_plane_grads(gpacked, s, h, w, c), None, None, None
 
 
 sample_plane_packed_fastgrad.defvjp(_plane_fwd, _plane_bwd_bf16)

@@ -150,3 +150,44 @@ def test_all_shading_modes():
         rgb = shader.apply(params, pts, dirs, feats)
         assert rgb.shape == (10, 3), mode
         assert np.isfinite(np.asarray(rgb)).all(), mode
+
+
+def test_split_l1_matches_concat_mlp():
+    """MLP_Fea with the concat-free first layer (shading _SPLIT_L1) must
+    match the concat formulation: forward to f32 partial-sum tolerance,
+    gradients likewise (the parameter layout is identical)."""
+    import jax
+
+    from egonerf_tpu.models.shading import make_shader, _SPLIT_L1
+
+    rng = np.random.default_rng(5)
+    n, app_dim = 257, 27
+    shader = make_shader("MLP_Fea", app_dim, view_pe=2, fea_pe=2, feature_c=128)
+    params = shader.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(rng.normal(size=(n, app_dim)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    from egonerf_tpu.models import shading as sh_mod
+
+    def run(split):
+        old = sh_mod._SPLIT_L1
+        sh_mod._SPLIT_L1 = split
+        try:
+            sh2 = make_shader("MLP_Fea", app_dim, view_pe=2, fea_pe=2,
+                              feature_c=128)
+            out = sh2.apply(params, None, dirs, feats)
+            g = jax.grad(lambda p: jnp.sum(
+                sh2.apply(p, None, dirs, feats) ** 2))(params)
+            return np.asarray(out), g
+        finally:
+            sh_mod._SPLIT_L1 = old
+
+    out_split, g_split = run(True)
+    out_cat, g_cat = run(False)
+    np.testing.assert_allclose(out_split, out_cat, atol=1e-6)
+    for key in ("l1", "l2", "l3"):
+        for leaf in ("w", "b"):
+            a, b = np.asarray(g_split[key][leaf]), np.asarray(g_cat[key][leaf])
+            np.testing.assert_allclose(a, b, atol=2e-4 * max(np.abs(b).max(), 1.0),
+                                       err_msg=f"{key}.{leaf}")

@@ -482,3 +482,66 @@ def test_combine_mm_matches_einsum():
         want_b = np.asarray(
             (w[:, :, None] * dout[:, None, :]).reshape(n, n_corners * c))
         np.testing.assert_array_equal(got_b, want_b)
+
+
+def test_unpack_plane_grads_flat_matches_legacy():
+    """The flat-row unpack of packed corner cotangents (vm_lookup
+    _UNPACK_FLAT) must reproduce the legacy reshape+pad/DUS expression
+    exactly — same f32 values, same summation order (the formulation
+    change is layout-only)."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(11)
+    for s, h, w, c in ((2, 6, 5, 4), (1, 3, 7, 2), (2, 4, 4, 3)):
+        gpacked = jnp.asarray(
+            rng.normal(size=(s * h * w, 4 * c)).astype(np.float32))
+        flat = vl._unpack_plane_grads(gpacked, s, h, w, c)
+        legacy_g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
+        legacy = (legacy_g[..., 0, :] + vl._unshift_x(legacy_g[..., 1, :])
+                  + vl._unshift_y(legacy_g[..., 2, :])
+                  + vl._unshift_x(vl._unshift_y(legacy_g[..., 3, :])))
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(legacy))
+        # bf16 input path (the production fastgrad scatter result dtype)
+        gb = gpacked.astype(jnp.bfloat16)
+        flat_b = vl._unpack_plane_grads(gb, s, h, w, c)
+        legacy_gb = gb.astype(jnp.float32).reshape(s, h, w, 4, c)
+        legacy_b = (legacy_gb[..., 0, :] + vl._unshift_x(legacy_gb[..., 1, :])
+                    + vl._unshift_y(legacy_gb[..., 2, :])
+                    + vl._unshift_x(vl._unshift_y(legacy_gb[..., 3, :])))
+        np.testing.assert_array_equal(np.asarray(flat_b), np.asarray(legacy_b))
+
+
+def test_unpack_flat_is_pack_plane_adjoint():
+    """<pack_plane(P), G> == <P, unpack(G)>: the flat unpack is the exact
+    adjoint of the corner packing, including every edge clamp."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    rng = np.random.default_rng(12)
+    s, h, w, c = 2, 5, 6, 3
+    plane = jnp.asarray(rng.normal(size=(s, h, w, c)).astype(np.float32))
+    gpack = jnp.asarray(
+        rng.normal(size=(s * h * w, 4 * c)).astype(np.float32))
+    lhs = jnp.sum(vl.pack_plane(plane, dtype=jnp.float32) * gpack)
+    rhs = jnp.sum(plane * vl._unpack_plane_grads(gpack, s, h, w, c))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_unpack_plane_grads_pad_stencil_matches(monkeypatch):
+    """The "pad" stencil sub-variant (one zero-padded buffer, static
+    windows) matches the legacy unpack to f32 association epsilon — the
+    edge clamp terms re-associate two-term sums."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    monkeypatch.setattr(vl, "_UNPACK_FLAT", True)
+    monkeypatch.setattr(vl, "_UNPACK_PAD", True)
+    rng = np.random.default_rng(13)
+    for s, h, w, c in ((2, 6, 5, 4), (1, 3, 7, 2), (2, 4, 4, 3)):
+        gpacked = jnp.asarray(
+            rng.normal(size=(s * h * w, 4 * c)).astype(np.float32))
+        got = np.asarray(vl._unpack_plane_grads(gpacked, s, h, w, c))
+        g = gpacked.reshape(s, h, w, 4, c)
+        want = np.asarray(
+            g[..., 0, :] + vl._unshift_x(g[..., 1, :])
+            + vl._unshift_y(g[..., 2, :])
+            + vl._unshift_x(vl._unshift_y(g[..., 3, :])))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
