@@ -9,6 +9,12 @@ from .shading import make_shader
 
 def _field_config(cfg, meta=None) -> FieldConfig:
     if meta:
+        import dataclasses
+
+        # meta may carry non-FieldConfig keys (e.g. model_name, added so
+        # converters can detect the family without a training config)
+        fields = {f.name for f in dataclasses.fields(FieldConfig)}
+        meta = {k: v for k, v in meta.items() if k in fields}
         return FieldConfig(**{**meta, "density_n_comp": tuple(meta["density_n_comp"]),
                               "app_n_comp": tuple(meta["app_n_comp"])})
     return FieldConfig(
@@ -34,7 +40,11 @@ def _field_config(cfg, meta=None) -> FieldConfig:
 
 def build_model(cfg, aabb, grid_size, coordinates, near_far, meta=None):
     field_cfg = _field_config(cfg, meta=meta)
-    name = cfg.model_name
+    # a checkpoint's stored family wins over the config default so that
+    # imported reference checkpoints (any TensoRF variant) evaluate without
+    # a hand-matched config (reference keeps it config-side via eval(),
+    # train.py:55)
+    name = (meta or {}).get("model_name") or cfg.model_name
     if name == "EgoNeRF":
         return EgoNeRF(aabb, grid_size, coordinates, field_cfg, near_far=near_far)
     if name in ("TensorVMSplit", "TensorVM", "TensorCP"):
@@ -54,4 +64,5 @@ def model_meta(cfg, model) -> dict:
     meta = dataclasses.asdict(model.cfg)
     meta["density_n_comp"] = list(meta["density_n_comp"])
     meta["app_n_comp"] = list(meta["app_n_comp"])
+    meta["model_name"] = type(model).__name__
     return meta

@@ -16,10 +16,121 @@ Usage:
 """
 from __future__ import annotations
 
+import dataclasses
+
 import os
 import sys
 
 import numpy as np
+
+
+#: our spec name -> reference coordinates class name (the inverse of the
+#: import tool's map; reference: models/coordinates.py class table)
+_REF_COORD_CLASS = {
+    "xyz": "CartesianCoords",
+    "sphere": "SphericalCoords",
+    "balanced_sphere": "BalancedSphericalCoords",
+    "directional_sphere": "DirectionalSphericalCoords",
+    "directional_balanced_sphere": "DirectionalBalancedSphericalCoords",
+    "euler_sphere": "EulerSphericalCoords",
+    "cylinder": "CylindricalCoords",
+    "generic_sphere": "GenericSphericalCoords",
+}
+
+
+def _export_tensorf(family, spec, cfg, params, masks, out_path, near_far,
+                    reference, global_step) -> None:
+    """Build the matching upstream TensoRF-family model, copy every tensor
+    with the parity-test mapping (tests/test_reference_parity.py:557-764)
+    and write via the reference's own save (reference:
+    models/tensorBase.py:270-282)."""
+    from .headtohead_reference import _stub_ref_deps
+
+    _stub_ref_deps()
+    import torch
+
+    sys.path.insert(0, reference)
+    try:
+        import models.coordinates as ref_coords_mod
+        from models import tensoRF as ref_tensorf
+        from models.tensorBase import AlphaGridMask
+    finally:
+        sys.path.pop(0)
+
+    aabb = np.asarray(spec["aabb"], np.float32)
+    t_aabb = torch.tensor(aabb)
+    coord_cls = getattr(ref_coords_mod, _REF_COORD_CLASS[spec["name"]])
+    if spec["name"] == "generic_sphere":
+        ref_coords = coord_cls(
+            "cpu", t_aabb, exp_r=bool(spec.get("exp_r")),
+            N_voxel=int(np.prod(spec["resolution"])), r0=spec.get("r0"),
+            interval_th=bool(spec.get("interval_th")))
+    else:
+        ref_coords = coord_cls("cpu", t_aabb)
+    reso = [int(g) for g in spec["resolution"]]
+    # the fused TensorVM stores scalar n_comp; CP uses a 1-list
+    # (reference: models/tensoRF.py:10-14, 292-296)
+    n_den, n_app = list(cfg.density_n_comp), list(cfg.app_n_comp)
+    if family == "TensorVM":
+        n_den, n_app = n_den[0], n_app[0]
+    elif family == "TensorCP":
+        n_den, n_app = n_den[:1], n_app[:1]
+    ref = getattr(ref_tensorf, family)(
+        t_aabb, reso, "cpu", ref_coords,
+        density_n_comp=n_den, appearance_n_comp=n_app, app_dim=cfg.app_dim,
+        near_far=list(near_far), shadingMode=cfg.shading_mode,
+        density_shift=cfg.density_shift, distance_scale=cfg.distance_scale,
+        pos_pe=cfg.pos_pe, view_pe=cfg.view_pe, fea_pe=cfg.fea_pe,
+        featureC=cfg.feature_c, fea2denseAct=cfg.fea2dense_act,
+        step_ratio=cfg.step_ratio, alphaMask_thres=cfg.alpha_mask_thres,
+        rayMarch_weight_thres=cfg.ray_march_weight_thres,
+        use_envmap=cfg.use_envmap, envmap_res_H=cfg.envmap_res_h)
+    if family in ("TensorVM", "TensorCP"):
+        # vestigial upstream constructors never set the mode tables nor
+        # allocate parameters (reference: models/tensoRF.py:5-14, 288-296)
+        ref.matMode = [[0, 1], [0, 2], [1, 2]]
+        ref.vecMode = [2, 1, 0]
+        ref.init_svd_volume(reso[0], "cpu")
+
+    def _t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    with torch.no_grad():
+        if family == "TensorCP":
+            for i in range(3):
+                ref.density_line[i].copy_(
+                    _t(params["density_lines"][i])[0].T[None, :, :, None])
+                ref.app_line[i].copy_(
+                    _t(params["app_lines"][i])[0].T[None, :, :, None])
+        elif family == "TensorVM":
+            for i in range(3):
+                plane = torch.cat([
+                    _t(params["app_planes"][i])[0].permute(2, 0, 1),
+                    _t(params["density_planes"][i])[0].permute(2, 0, 1)])
+                line = torch.cat([_t(params["app_lines"][i])[0].T,
+                                  _t(params["density_lines"][i])[0].T])
+                ref.plane_coef[i].copy_(plane)
+                ref.line_coef[i].copy_(line[:, :, None])
+        else:  # TensorVMSplit
+            for i in range(3):
+                for name in ("density", "app"):
+                    getattr(ref, f"{name}_plane")[i].copy_(
+                        _t(params[f"{name}_planes"][i])[0].permute(2, 0, 1)[None])
+                    getattr(ref, f"{name}_line")[i].copy_(
+                        _t(params[f"{name}_lines"][i])[0].T[None, :, :, None])
+        ref.basis_mat.weight.copy_(_t(params["basis"]).T)
+        if hasattr(ref.renderModule, "mlp"):
+            for idx, key in zip((0, 2, 4), ("l1", "l2", "l3")):
+                ref.renderModule.mlp[idx].weight.copy_(
+                    _t(params["shader"][key]["w"]).T)
+                ref.renderModule.mlp[idx].bias.copy_(
+                    _t(params["shader"][key]["b"]))
+        if cfg.use_envmap and "envmap" in params:
+            ref.envmap.emission.copy_(_t(params["envmap"]).permute(2, 0, 1))
+    if masks:
+        vol = torch.from_numpy(masks["alpha_0"].astype(np.float32))
+        ref.alphaMask = AlphaGridMask("cpu", vol)
+    ref.save(out_path, global_step=global_step)
 
 
 def export(ckpt_path: str, out_path: str,
@@ -39,12 +150,39 @@ def export(ckpt_path: str, out_path: str,
     flat, header, masks = load_checkpoint(ckpt_path)
     spec, meta = header["coords_spec"], header["model_meta"]
     if spec["name"] != "yinyang":
-        raise SystemExit(f"unsupported coordinates {spec['name']!r} "
-                         "(EgoNeRF / yin-yang family only)")
+        from ..models.tensorf import TensorCP, TensorVM, TensorVMSplit
+
+        coords = coords_from_spec(spec)
+        aabb = np.asarray(spec["aabb"], np.float32)
+        fields = {f.name for f in dataclasses.fields(FieldConfig)}
+        cfg = FieldConfig(**{**{k: v for k, v in meta.items() if k in fields},
+                             "density_n_comp": tuple(meta["density_n_comp"]),
+                             "app_n_comp": tuple(meta["app_n_comp"])})
+        cls = {"TensorVMSplit": TensorVMSplit, "TensorVM": TensorVM,
+               "TensorCP": TensorCP}
+        near_far = near_far or [0.05, float(np.max(np.abs(aabb)))]
+        family = meta.get("model_name")
+        if family not in cls:
+            # legacy checkpoint without model_name: detect from the stored
+            # parameter names (flat keys are '<group>.<index>...' paths)
+            family = ("TensorCP" if not any(
+                k.startswith("density_planes") for k in flat) else
+                "TensorVMSplit")
+        model = cls[family](aabb, coords.resolution, coords, cfg,
+                            near_far=near_far)
+        params = unflatten_params(model.init_params(jax.random.PRNGKey(0)),
+                                  flat)
+        _export_tensorf(family, spec, cfg, params, masks, out_path, near_far,
+                        reference, int(header.get("global_step", 0)))
+        return {"out": out_path,
+                "global_step": int(header.get("global_step", 0)),
+                "family": family, "resolution": list(spec["resolution"]),
+                "use_envmap": cfg.use_envmap, "alpha_masks": bool(masks)}
 
     coords = coords_from_spec(spec)
     aabb = np.asarray(spec["aabb"], np.float32)
-    cfg = FieldConfig(**{**meta,
+    fields = {f.name for f in dataclasses.fields(FieldConfig)}
+    cfg = FieldConfig(**{**{k: v for k, v in meta.items() if k in fields},
                          "density_n_comp": tuple(meta["density_n_comp"]),
                          "app_n_comp": tuple(meta["app_n_comp"])})
     # near_far lives in the training config, not the checkpoint header —

@@ -9,13 +9,17 @@ models/EgoNeRF.py:158-172), where ``kwargs`` embeds the live
 importable.  Point ``--reference`` at a checkout (default
 ``/root/reference``); the tool fails with a clear error when absent.
 
-Scope: the EgoNeRF / yin-yang family (the repo's flagship) and the
-TensorVMSplit baseline (any coordinate chart).  Tensor
-layouts map exactly as in the numerical-parity tests
+Scope: the full model-family surface — EgoNeRF / yin-yang (the repo's
+flagship), TensorVMSplit, fused-plane TensorVM and rank-1 TensorCP
+(any coordinate chart), detected from the state_dict's parameter
+layout.  Tensor layouts map exactly as in the numerical-parity tests
 (tests/test_reference_parity.py): per-chart ``(1, C, H, W)``
 ParameterLists -> stacked channel-last ``(2, H, W, C)``; lines
-``(1, C, L, 1)`` -> ``(2, L, C)``; Linear weights transpose; envmap
-``(3, 2h, h)`` -> ``(2h, h, 3)``; bit-packed alpha masks unpack to the
+``(1, C, L, 1)`` -> ``(2, L, C)``; TensorVM's fused ``(3, app+den, R,
+R)`` plane splits into per-axis app/density planes (app channels
+first, reference: models/tensoRF.py:10-14,29-35); CP lines ``(1, C,
+L, 1)`` -> ``(1, L, C)``; Linear weights transpose; envmap ``(3, 2h,
+h)`` -> ``(2h, h, 3)``; bit-packed alpha masks unpack to the
 framework's ``alpha_0``/``alpha_1`` (yin/yang) volumes.
 
 Usage:
@@ -76,12 +80,15 @@ def convert(ckpt_path: str, out_path: str,
         family = "EgoNeRF"
     elif "density_plane.0" in sd and "density_line.0" in sd:
         family = "TensorVMSplit"
+    elif "plane_coef" in sd and "line_coef" in sd:
+        family = "TensorVM"  # fused [app, density] channel layout
+    elif "density_line.0" in sd and "app_line.0" in sd:
+        family = "TensorCP"
     else:
         raise SystemExit(
             "unsupported checkpoint layout: this converter covers EgoNeRF "
-            "(yin-yang) and TensorVMSplit; the fused TensorVM / TensorCP "
-            "layout maps are in tests/test_reference_parity.py if a port "
-            "is needed")
+            "(yin-yang), TensorVMSplit, TensorVM and TensorCP — the "
+            f"state_dict keys {sorted(sd)[:6]}... match none of them")
     if family == "EgoNeRF" and cname != "YinYangSphericalCoords":
         raise SystemExit(f"EgoNeRF checkpoint with coordinates {cname!r} "
                          "is not supported (yinyang only)")
@@ -101,7 +108,7 @@ def convert(ckpt_path: str, out_path: str,
         "r0": (float(ref_coords.r0)
                if getattr(ref_coords, "r0", None) is not None else None),
     }
-    if family == "TensorVMSplit":
+    if family != "EgoNeRF":
         name_map = {"CartesianCoords": "xyz",
                     "GenericSphericalCoords": "generic_sphere",
                     "SphericalCoords": "sphere",
@@ -110,15 +117,21 @@ def convert(ckpt_path: str, out_path: str,
                     "DirectionalBalancedSphericalCoords":
                         "directional_balanced_sphere",
                     "EulerSphericalCoords": "euler_sphere",
-                    "CylinderCoords": "cylinder"}
+                    "CylindricalCoords": "cylinder"}
         if cname not in name_map:
             raise SystemExit(f"unknown coordinates class {cname!r}")
         spec["name"] = name_map[cname]
     coords = coords_from_spec(spec)
 
+    def _ncomp(v):
+        # the fused TensorVM stores a scalar; other families store a list
+        # (reference: models/tensoRF.py:10-14 vs tensorBase.py:171-173)
+        vals = [int(x) for x in np.atleast_1d(v)]
+        return tuple(vals * 3) if len(vals) == 1 else tuple(vals)
+
     cfg = FieldConfig(
-        density_n_comp=tuple(kwargs["density_n_comp"]),
-        app_n_comp=tuple(kwargs["appearance_n_comp"]),
+        density_n_comp=_ncomp(kwargs["density_n_comp"]),
+        app_n_comp=_ncomp(kwargs["appearance_n_comp"]),
         app_dim=int(kwargs["app_dim"]),
         shading_mode=kwargs["shadingMode"],
         pos_pe=int(kwargs["pos_pe"]), view_pe=int(kwargs["view_pe"]),
@@ -137,10 +150,11 @@ def convert(ckpt_path: str, out_path: str,
         model = EgoNeRF(aabb, coords.resolution, coords, cfg,
                         near_far=near_far)
     else:
-        from ..models.tensorf import TensorVMSplit
+        from ..models.tensorf import TensorCP, TensorVM, TensorVMSplit
 
-        model = TensorVMSplit(aabb, coords.resolution, coords, cfg,
-                              near_far=near_far)
+        cls = {"TensorVMSplit": TensorVMSplit, "TensorVM": TensorVM,
+               "TensorCP": TensorCP}[family]
+        model = cls(aabb, coords.resolution, coords, cfg, near_far=near_far)
     params = dict(model.init_params(jax.random.PRNGKey(0)))
 
     def take(key, expect_shape):
@@ -150,30 +164,58 @@ def convert(ckpt_path: str, out_path: str,
                              f"expected {tuple(expect_shape)}")
         return arr
 
-    for i in range(3):
-        for name in ("density", "app"):
-            ours_p = np.asarray(params[f"{name}_planes"][i])  # (S,H,W,C)
-            ours_l = np.asarray(params[f"{name}_lines"][i])   # (S,L,C)
-            h, w, c = ours_p.shape[1:]
-            l = ours_l.shape[1]
-            if family == "EgoNeRF":
-                plane = np.stack([
-                    take(f"{name}_plane_yin.{i}",
-                         (1, c, h, w))[0].transpose(1, 2, 0),
-                    take(f"{name}_plane_yang.{i}",
-                         (1, c, h, w))[0].transpose(1, 2, 0)])
-                line = np.stack([
-                    take(f"{name}_line_yin.{i}", (1, c, l, 1))[0, :, :, 0].T,
-                    take(f"{name}_line_yang.{i}", (1, c, l, 1))[0, :, :, 0].T])
-            else:
-                plane = take(f"{name}_plane.{i}",
-                             (1, c, h, w))[0].transpose(1, 2, 0)[None]
-                line = take(f"{name}_line.{i}",
-                            (1, c, l, 1))[0, :, :, 0].T[None]
-            params[f"{name}_planes"] = list(params[f"{name}_planes"])
-            params[f"{name}_lines"] = list(params[f"{name}_lines"])
-            params[f"{name}_planes"][i] = plane
-            params[f"{name}_lines"][i] = line
+    if family == "TensorCP":
+        # rank-1 family has no planes (reference: models/tensoRF.py:292-305)
+        params["density_lines"] = list(params["density_lines"])
+        params["app_lines"] = list(params["app_lines"])
+        for i in range(3):
+            for name in ("density", "app"):
+                _, l, c = np.asarray(params[f"{name}_lines"][i]).shape
+                params[f"{name}_lines"][i] = take(
+                    f"{name}_line.{i}", (1, c, l, 1))[0, :, :, 0].T[None]
+    elif family == "TensorVM":
+        # one fused (3, app+den, R, R) tensor, app channels first
+        # (reference: models/tensoRF.py:10-14; lookups slice [:app] and
+        # [-den:] at :29-35) — split into the per-axis storage this
+        # framework uses (the fusion is a CUDA batching detail)
+        na, nd = cfg.app_n_comp[0], cfg.density_n_comp[0]
+        h = np.asarray(params["density_planes"][0]).shape[1]
+        l = np.asarray(params["density_lines"][0]).shape[1]
+        pc = take("plane_coef", (3, na + nd, h, h))
+        lc = take("line_coef", (3, na + nd, l, 1))
+        for key in ("density_planes", "density_lines", "app_planes",
+                    "app_lines"):
+            params[key] = list(params[key])
+        for i in range(3):
+            params["app_planes"][i] = pc[i, :na].transpose(1, 2, 0)[None]
+            params["density_planes"][i] = pc[i, na:].transpose(1, 2, 0)[None]
+            params["app_lines"][i] = lc[i, :na, :, 0].T[None]
+            params["density_lines"][i] = lc[i, na:, :, 0].T[None]
+    else:
+        for i in range(3):
+            for name in ("density", "app"):
+                ours_p = np.asarray(params[f"{name}_planes"][i])  # (S,H,W,C)
+                ours_l = np.asarray(params[f"{name}_lines"][i])   # (S,L,C)
+                h, w, c = ours_p.shape[1:]
+                l = ours_l.shape[1]
+                if family == "EgoNeRF":
+                    plane = np.stack([
+                        take(f"{name}_plane_yin.{i}",
+                             (1, c, h, w))[0].transpose(1, 2, 0),
+                        take(f"{name}_plane_yang.{i}",
+                             (1, c, h, w))[0].transpose(1, 2, 0)])
+                    line = np.stack([
+                        take(f"{name}_line_yin.{i}", (1, c, l, 1))[0, :, :, 0].T,
+                        take(f"{name}_line_yang.{i}", (1, c, l, 1))[0, :, :, 0].T])
+                else:
+                    plane = take(f"{name}_plane.{i}",
+                                 (1, c, h, w))[0].transpose(1, 2, 0)[None]
+                    line = take(f"{name}_line.{i}",
+                                (1, c, l, 1))[0, :, :, 0].T[None]
+                params[f"{name}_planes"] = list(params[f"{name}_planes"])
+                params[f"{name}_lines"] = list(params[f"{name}_lines"])
+                params[f"{name}_planes"][i] = plane
+                params[f"{name}_lines"][i] = line
 
     basis = np.asarray(params["basis"])
     if family == "EgoNeRF":

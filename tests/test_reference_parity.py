@@ -942,3 +942,142 @@ def test_import_tensorvmsplit_checkpoint_roundtrip(ref_modules, tmp_path):
         assert str(pa) == str(pb)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(pa))
+
+
+def _assert_trees_equal(a_tree, b_tree):
+    import jax
+
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(a_tree)[0],
+            jax.tree_util.tree_flatten_with_path(b_tree)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_import_tensorcp_checkpoint_roundtrip(ref_modules, tmp_path):
+    """import_reference_ckpt converts the rank-1 TensorCP layout
+    (reference: models/tensoRF.py:287-305): a reference-written .th
+    restores to OUR line/basis tensors bit-exactly."""
+    import jax
+
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params
+
+    ours, params, ref = _build_cp_pair(ref_modules)
+    th = str(tmp_path / "cp.th")
+    ref.save(th, global_step=321)
+    out = str(tmp_path / "cp.npz")
+    info = convert(th, out, reference=REF)
+    assert info["global_step"] == 321
+
+    template = ours.init_params(jax.random.PRNGKey(13))
+    restored, header, masks = restore_params(template, out)
+    assert header["coords_spec"]["name"] == "xyz"
+    assert header["model_meta"]["model_name"] == "TensorCP"
+    _assert_trees_equal(params, restored)
+
+
+def test_import_tensorvm_checkpoint_roundtrip(ref_modules, tmp_path):
+    """import_reference_ckpt splits the fused TensorVM plane/line tensors
+    (app channels first, density last — reference: models/tensoRF.py:10-14,
+    29-35) into this framework's per-axis storage bit-exactly."""
+    import jax
+
+    sys.path.insert(0, REF)
+    try:
+        from models.coordinates import CartesianCoords as RefCart
+        from models.tensoRF import TensorVM as RefVM
+    finally:
+        sys.path.pop(0)
+
+    from egonerf_tpu.coords.cartesian import CartesianCoords
+    from egonerf_tpu.models.egonerf import FieldConfig
+    from egonerf_tpu.models.tensorf import TensorVM
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params
+
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    reso = [24, 24, 24]
+    coords = CartesianCoords(aabb)
+    coords.set_resolution(reso)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                      app_dim=12, shading_mode="MLP_Fea", view_pe=2, fea_pe=2,
+                      feature_c=32, density_shift=-8.0, step_ratio=0.5)
+    ours = TensorVM(aabb, reso, coords, cfg, near_far=[0.5, 3.0])
+    params = ours.init_params(jax.random.PRNGKey(14))
+
+    ref_coords = RefCart("cpu", torch.tensor(aabb))
+    ref = RefVM(torch.tensor(aabb), reso, "cpu", ref_coords,
+                density_n_comp=4, appearance_n_comp=8, app_dim=12,
+                near_far=[0.5, 3.0], shadingMode="MLP_Fea", density_shift=-8,
+                distance_scale=25, pos_pe=6, view_pe=2, fea_pe=2, featureC=32,
+                fea2denseAct="softplus", step_ratio=0.5)
+    _complete_ref(ref, reso)
+    with torch.no_grad():
+        for i in range(3):
+            plane = np.concatenate([
+                np.asarray(params["app_planes"][i])[0].transpose(2, 0, 1),
+                np.asarray(params["density_planes"][i])[0].transpose(2, 0, 1)])
+            line = np.concatenate([
+                np.asarray(params["app_lines"][i])[0].T,
+                np.asarray(params["density_lines"][i])[0].T])
+            ref.plane_coef[i].copy_(_to_t(plane))
+            ref.line_coef[i].copy_(_to_t(line[:, :, None]))
+        ref.basis_mat.weight.copy_(_to_t(np.asarray(params["basis"]).T))
+    _copy_shader(ref, params["shader"])
+
+    th = str(tmp_path / "vm.th")
+    ref.save(th, global_step=654)
+    out = str(tmp_path / "vm.npz")
+    info = convert(th, out, reference=REF)
+    assert info["global_step"] == 654
+
+    template = ours.init_params(jax.random.PRNGKey(15))
+    restored, header, masks = restore_params(template, out)
+    assert header["model_meta"]["model_name"] == "TensorVM"
+    _assert_trees_equal(params, restored)
+
+
+@pytest.mark.parametrize("family", ["TensorVMSplit", "TensorVM", "TensorCP"])
+def test_export_import_tensorf_full_circle(ref_modules, tmp_path, family):
+    """export_reference_ckpt -> import_reference_ckpt is the identity for
+    every TensoRF family member (reference: models/tensoRF.py:5-124,
+    127-284, 287-413) — both layout mappings prove each other."""
+    import jax
+
+    from egonerf_tpu.coords.cartesian import CartesianCoords
+    from egonerf_tpu.models import model_meta
+    from egonerf_tpu.models.egonerf import FieldConfig
+    from egonerf_tpu.models.tensorf import TensorCP, TensorVM, TensorVMSplit
+    from egonerf_tpu.tools.export_reference_ckpt import export
+    from egonerf_tpu.tools.import_reference_ckpt import convert
+    from egonerf_tpu.train.checkpoint import restore_params, save_checkpoint
+
+    cls = {"TensorVMSplit": TensorVMSplit, "TensorVM": TensorVM,
+           "TensorCP": TensorCP}[family]
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    reso = [24, 24, 24]
+    coords = CartesianCoords(aabb)
+    coords.set_resolution(reso)
+    cfg = FieldConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                      app_dim=12, shading_mode="MLP_Fea", view_pe=2, fea_pe=2,
+                      feature_c=32, density_shift=-8.0, step_ratio=0.5)
+    ours = cls(aabb, reso, coords, cfg, near_far=[0.5, 3.0])
+    params = ours.init_params(jax.random.PRNGKey(16))
+
+    npz1 = str(tmp_path / "ours.npz")
+    save_checkpoint(npz1, params, global_step=88,
+                    coords_spec=coords.to_spec(),
+                    model_meta=model_meta(None, ours))
+    th = str(tmp_path / "exported.th")
+    info = export(npz1, th, reference=REF, near_far=[0.5, 3.0])
+    assert info["family"] == family and info["global_step"] == 88
+
+    npz2 = str(tmp_path / "roundtrip.npz")
+    convert(th, npz2, reference=REF)
+    template = ours.init_params(jax.random.PRNGKey(17))
+    restored, header, _ = restore_params(template, npz2)
+    assert header["global_step"] == 88
+    assert header["model_meta"]["model_name"] == family
+    _assert_trees_equal(params, restored)
