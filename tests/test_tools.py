@@ -231,3 +231,103 @@ def test_tpu_chip_lock(monkeypatch, tmp_path):
     assert tools._TPU_LOCK_FD is not None
     os.close(tools._TPU_LOCK_FD)
     monkeypatch.setattr(tools, "_TPU_LOCK_FD", None)
+
+
+def test_colmap_camera_models_and_distortion(tmp_path):
+    """Every reference-covered COLMAP camera model maps to the right
+    intrinsics + distortion block (reference: dataLoader/colmap2nerf.py:
+    160-215); OPENCV_FISHEYE (k1-k4) is covered additionally."""
+    from egonerf_tpu.tools.colmap2nerf import camera_intrinsics
+
+    cases = {
+        "SIMPLE_PINHOLE": ([100.0, 90.0, 45.0],
+                           dict(fl_x=100.0, fl_y=100.0, cx=90.0, cy=45.0)),
+        "PINHOLE": ([100.0, 110.0, 90.0, 45.0],
+                    dict(fl_x=100.0, fl_y=110.0, cx=90.0, cy=45.0)),
+        "SIMPLE_RADIAL": ([100.0, 90.0, 45.0, 0.01],
+                          dict(fl_x=100.0, k1=0.01)),
+        "RADIAL": ([100.0, 90.0, 45.0, 0.01, -0.02],
+                   dict(k1=0.01, k2=-0.02)),
+        "OPENCV": ([100.0, 110.0, 90.0, 45.0, 0.1, -0.2, 0.001, 0.002],
+                   dict(fl_y=110.0, k1=0.1, k2=-0.2, p1=0.001, p2=0.002)),
+        "OPENCV_FISHEYE": ([100.0, 110.0, 90.0, 45.0, 0.1, -0.2, 0.03, -0.04],
+                           dict(k1=0.1, k2=-0.2, k3=0.03, k4=-0.04,
+                                is_fisheye=True)),
+        "OPENCV_SPHERICAL": ([], dict(fl_x=1.0, fl_y=1.0, is_spherical=True)),
+    }
+    for model, (params, want) in cases.items():
+        got = camera_intrinsics({"model": model, "w": 180, "h": 90,
+                                 "params": params})
+        for k, v in want.items():
+            assert got[k] == v, (model, k, got)
+        np.testing.assert_allclose(
+            got["camera_angle_x"], 2 * np.arctan(180 / (2 * got["fl_x"])))
+
+
+def test_colmap_pose_normalization_invariants(tmp_path):
+    """The pose chain must land reference-normalized (reference:
+    dataLoader/colmap2nerf.py:268-311): mean up-vector on +z, pose
+    centroid near the center of attention, avg camera distance scaled
+    to 4."""
+    from egonerf_tpu.tools.colmap2nerf import colmap_to_transforms
+
+    (tmp_path / "cameras.txt").write_text(
+        "1 OPENCV 200 100 120.0 120.0 100.0 50.0 0.1 -0.05 0.001 0.002\n")
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(6):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=3) * 2 + np.array([1.0, -2.0, 3.0])
+        lines.append(f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} "
+                     f"{t[0]} {t[1]} {t[2]} 1 im_{i}.png")
+        lines.append("")
+    (tmp_path / "images.txt").write_text("\n".join(lines))
+    out = colmap_to_transforms(str(tmp_path), str(tmp_path / "t.json"))
+    assert out["k1"] == 0.1 and out["p2"] == 0.002
+    ms = [np.asarray(f["transform_matrix"]) for f in out["frames"]]
+    up = sum(m[0:3, 1] for m in ms)
+    up /= np.linalg.norm(up)
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
+    avglen = np.mean([np.linalg.norm(m[0:3, 3]) for m in ms])
+    np.testing.assert_allclose(avglen, 4.0, atol=1e-6)
+    # --no_center keeps raw (convention-flipped) poses
+    out2 = colmap_to_transforms(str(tmp_path), str(tmp_path / "t2.json"),
+                                center=False)
+    m2 = np.asarray(out2["frames"][0]["transform_matrix"])
+    assert not np.allclose(m2, ms[0])
+
+
+def test_colmap_sharpness_and_selection(tmp_path):
+    """Per-frame sharpness rides along and --keep_sharpest keeps the N
+    sharpest frames (reference: dataLoader/colmap2nerf.py:96-105,253)."""
+    import imageio.v2 as imageio
+
+    from egonerf_tpu.tools.colmap2nerf import colmap_to_transforms, sharpness
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    sharp = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    blurry = np.full((32, 32, 3), 128, np.uint8)
+    imageio.imwrite(str(imgdir / "a.png"), sharp)
+    imageio.imwrite(str(imgdir / "b.png"), blurry)
+    assert sharpness(str(imgdir / "a.png")) > sharpness(str(imgdir / "b.png"))
+
+    (tmp_path / "cameras.txt").write_text(
+        "1 PINHOLE 32 32 30.0 30.0 16.0 16.0\n")
+    lines = []
+    for i, name in enumerate(("a.png", "b.png")):
+        lines.append(f"{i+1} 1 0 0 0 {float(i)} 0 0 1 {name}")
+        lines.append("")
+    (tmp_path / "images.txt").write_text("\n".join(lines))
+    out = colmap_to_transforms(str(tmp_path), str(tmp_path / "t.json"),
+                               image_dir=str(imgdir), keep_sharpest=1,
+                               center=False)
+    assert len(out["frames"]) == 1
+    assert out["frames"][0]["file_path"].endswith("a.png")
+    assert out["frames"][0]["sharpness"] > 0
+    # skip_early drops the first N images
+    out3 = colmap_to_transforms(str(tmp_path), str(tmp_path / "t3.json"),
+                                skip_early=1, center=False)
+    assert [f["file_path"] for f in out3["frames"]] == ["b.png"]
