@@ -168,9 +168,15 @@ class EgocentricVideoDataset(EgoNeRFDataset):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
         self.img_wh_origin = (int(1920 / self.downsample), int(960 / self.downsample))
+        # derived from the CROP BOUNDS, not int(size * roi_span): the
+        # reference computes these with different truncations
+        # (dataset_egocentric_video.py:17 vs :77) and crashes reshaping
+        # whenever a fractional roi rounds them apart — identical values
+        # wherever the reference works
+        w0, h0 = self.img_wh_origin
         self.img_wh = (
-            int(self.img_wh_origin[0] * (self.roi[3] - self.roi[2])),
-            int(self.img_wh_origin[1] * (self.roi[1] - self.roi[0])),
+            int(self.roi[3] * w0) - int(self.roi[2] * w0),
+            int(self.roi[1] * h0) - int(self.roi[0] * h0),
         )
         self.read_meta()
         self.scene_bbox = self.get_scene_bbox()
@@ -217,9 +223,11 @@ class OmniscenesDataset(EgoNeRFDataset):
         super().__init__(**kwargs)
         self.roi = [0.0, 0.9, 0.0, 1.0]
         self.img_wh_origin = (int(1920 / self.downsample), int(960 / self.downsample))
+        # crop-bound-derived for the same reason as EgocentricVideoDataset
+        w0, h0 = self.img_wh_origin
         self.img_wh = (
-            int(self.img_wh_origin[0] * (self.roi[3] - self.roi[2])),
-            int(self.img_wh_origin[1] * (self.roi[1] - self.roi[0])),
+            int(self.roi[3] * w0) - int(self.roi[2] * w0),
+            int(self.roi[1] * h0) - int(self.roi[0] * h0),
         )
         self.read_meta()
         self.scene_bbox = self.get_scene_bbox()
