@@ -149,6 +149,39 @@ def main():
         # per-call latency distribution (each call synced)
         _, per_call = run_calls(CALLS_PER_SEG, sync_each=True)
 
+        # -- eval headline: full-fidelity 2000x1000 render from the just-
+        # trained params (the reference prints per-image eval time as a
+        # first-class signal, reference: renderer.py:68,75).  Skipped in
+        # BENCH_QUICK ablation mode to keep toggles fast.
+        eval_metrics = {}
+        if not os.environ.get("BENCH_QUICK"):
+            from egonerf_tpu.data.datasets import SyntheticEgoDataset
+            from egonerf_tpu.render.renderer import Renderer
+
+            eval_ds = SyntheticEgoDataset(
+                split="test", is_stack=True, n_train=2, n_test=1,
+                height=1000, width=2000, near_far=cfg.near_far)
+            renderer = Renderer(
+                trainer.model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
+                n_fine=(cfg.n_fine if cfg.resampling else 0),
+                exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
+                use_coarse_sample=cfg.use_coarse_sample,
+                white_bg=eval_ds.white_bg, eval_keep=cfg.eval_keep)
+            renderer.set_directions(eval_ds.directions)
+            pose = eval_ds.poses[0]
+            renderer.render_view(trainer.params, pose)  # compile + warm
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                renderer.render_view(trainer.params, pose)
+                times.append(time.perf_counter() - t0)
+            n_eval_rays = 2000 * 1000
+            eval_metrics = {
+                "eval_sec_per_image": round(min(times), 2),
+                "eval_rays_per_sec": round(n_eval_rays / min(times), 1),
+                "eval_image": "2000x1000",
+            }
+
     value = statistics.median(seg_rates)
     step_ms = sorted(1000.0 * t / STEPS_PER_CALL for t in per_call)
     result.update(
@@ -163,6 +196,7 @@ def main():
         step_ms_max=round(step_ms[-1], 1),
         load_avg_start=round(load0, 2),
         load_avg_end=round(os.getloadavg()[0], 2),
+        **eval_metrics,
     )
     spread = max(seg_rates) / max(min(seg_rates), 1e-9)
     if spread > 1.3:
