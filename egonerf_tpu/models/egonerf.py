@@ -342,7 +342,7 @@ class EgoNeRF:
                 n_fine=128, exp_sampling=True, resampling=True,
                 use_coarse_sample=True, pretrain_envmap=False, white_bg=True,
                 ndc_ray=False, eval_keep=0, train_keep=0,
-                train_cull_tau=0.0, **_):
+                train_cull_tau=0.0, eval_keep_score="coarse", **_):
         """Render a (R, 6) ray batch.
 
         Returns dict(rgb, depth, bg, env, alpha).  ``key`` enables jitter +
@@ -414,7 +414,35 @@ class EgoNeRF:
                 from ..ops.cull import (coarse_importance, gumbel_perturb,
                                         select_top_k, train_tiebreak)
 
-                score = coarse_importance(z_vals, coarse_z, c_weight)
+                if not is_train and eval_keep_score == "oracle":
+                    # ORACLE scorer (mechanism experiment, BASELINE.md):
+                    # rank by the FULL-RESOLUTION fine-field rendering
+                    # weight of every merged sample — the upper bound any
+                    # coarse-pass scorer could reach.  If the keep-K cliff
+                    # persists under this ordering, the 256-sample union
+                    # is genuinely non-redundant; if it vanishes, the
+                    # half-res coarse score was mis-ranking.  Pays a full
+                    # density pass over all S samples, so it is an
+                    # instrument, not a speed path.
+                    xyz_all = (rays_o[:, None, :]
+                               + viewdirs[:, None, :] * z_vals[..., None])
+                    norm_all = self.coordinates.normalize_coord(
+                        self.coordinates.from_cartesian(xyz_all))
+                    feat_all = self.compute_density_feature(
+                        params["density_planes"], params["density_lines"],
+                        norm_all)
+                    sigma_all = feature2density(feat_all, cfg)
+                    _, w_all, _ = raw2alpha(sigma_all,
+                                            dists * cfg.distance_scale)
+                    # same one-neighbour dilation as coarse_importance so
+                    # the A/B isolates the score SOURCE, not the dilation
+                    score = jnp.maximum(w_all, jnp.maximum(
+                        jnp.concatenate([w_all[..., 1:], w_all[..., -1:]],
+                                        axis=-1),
+                        jnp.concatenate([w_all[..., :1], w_all[..., :-1]],
+                                        axis=-1)))
+                else:
+                    score = coarse_importance(z_vals, coarse_z, c_weight)
                 if is_train and key is not None:
                     # randomize the kept set each step (see ops/cull.py);
                     # fold_in leaves the k_coarse/k_pdf streams — and

@@ -136,8 +136,12 @@ _HAT_PAD = _os.environ.get("EGONERF_HAT_PAD", "0") == "1"
 # tests/test_ops.py.  "pad" selects the stencil sub-variant: one zero-pad
 # of the packed buffer, every shifted term a static window of it (adds
 # fuse with no per-term materialization; edge association reorders f32 by
-# epsilon).  In-situ numbers: BASELINE.md round-4 table.
-_UNPACK_MODE = _os.environ.get("EGONERF_UNPACK_FLAT", "1")
+# epsilon).  In-situ r4 (BENCH_QUICK, back to back, 2026-08-19):
+#   flat (1)  137.3 ms / 29,924 rays/s     pad  134.0 ms / 30,646 rays/s
+#   flat (1)  137.3 ms / 29,919 rays/s (repeat) -> pad is the default:
+# the single fused stencil saves the per-term shifted-add materializations
+# (-3.3 ms/step, vs_baseline 0.997 -> 1.022).
+_UNPACK_MODE = _os.environ.get("EGONERF_UNPACK_FLAT", "pad")
 _UNPACK_FLAT = _UNPACK_MODE != "0"
 _UNPACK_PAD = _UNPACK_MODE == "pad"
 

@@ -118,12 +118,25 @@ class Renderer:
         else:
             self._dirs_buf = jax.device_put(dirs)
 
-    def render_view(self, params, c2w: np.ndarray) -> dict:
-        """Render one camera given its pose; requires set_directions()."""
+    def render_view_async(self, params, c2w: np.ndarray,
+                          keys: Optional[tuple] = None,
+                          pretrain_envmap: bool = False) -> dict:
+        """Dispatch one camera render; returns DEVICE arrays immediately.
+
+        ``keys`` restricts the outputs carried out of the scan (and thus
+        transferred): eval only consumes bg/env when it saves them, and
+        dropping an output drops its compositing epilogue + transfer from
+        the compiled program.  Fetch with :meth:`fetch_view` — dispatching
+        image k+1 before fetching image k double-buffers the device, so
+        host-side transfer + metrics + PNG encoding for image k overlap
+        device compute of image k+1 (eval timing is a first-class signal,
+        reference: renderer.py:68,75)."""
         c2w = np.asarray(c2w, np.float32)
         rot = jnp.asarray(c2w[:3, :3])
         origin = jnp.asarray(c2w[:3, 3])
-        key = ("view", self._dirs_buf.shape[0])
+        out_keys = tuple(keys) if keys is not None else (
+            ("env",) if pretrain_envmap else self.OUT_KEYS)
+        key = ("view", self._dirs_buf.shape[0], out_keys, pretrain_envmap)
         fn = self._jitted.get(key)
         if fn is None:
             kwargs = dict(self.render_kwargs)
@@ -134,8 +147,10 @@ class Renderer:
                     rays = jnp.concatenate(
                         [jnp.broadcast_to(origin, rays_d.shape), rays_d], axis=-1)
                     out = self.model.forward(params, rays, key=None,
-                                             is_train=False, **kwargs)
-                    return None, {k: out.get(k) for k in self.OUT_KEYS
+                                             is_train=False,
+                                             pretrain_envmap=pretrain_envmap,
+                                             **kwargs)
+                    return None, {k: out.get(k) for k in out_keys
                                   if out.get(k) is not None}
 
                 _, outs = jax.lax.scan(body, None, dirs_chunks)
@@ -150,10 +165,18 @@ class Renderer:
             else:
                 fn = jax.jit(render_all)
             self._jitted[key] = fn
-        out = fn(params, self._dirs_buf, rot, origin)
+        return fn(params, self._dirs_buf, rot, origin)
+
+    def fetch_view(self, out: dict) -> dict:
+        """Transfer a :meth:`render_view_async` result to host arrays."""
         n = self._n_rays_view
         return {k: np.asarray(v).reshape(-1, *v.shape[2:])[:n]
                 for k, v in out.items()}
+
+    def render_view(self, params, c2w: np.ndarray,
+                    keys: Optional[tuple] = None) -> dict:
+        """Render one camera given its pose; requires set_directions()."""
+        return self.fetch_view(self.render_view_async(params, c2w, keys))
 
 
 def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
@@ -187,14 +210,46 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
     if device_raygen:
         renderer.set_directions(test_dataset.directions)
 
+    # outputs restricted to what this invocation consumes (dropping one
+    # drops its compositing epilogue + transfer from the compiled program;
+    # rgb already includes the bg blend, so rgb/depth are bit-identical
+    # either way), and the image loop is double-buffered: image k+1 is
+    # dispatched before image k is fetched, so transfer + host metrics +
+    # PNG encoding overlap device compute
+    save_maps = bool(save_path and save_images)
+    view_keys = ("rgb", "depth") + (("bg",) if save_maps else ())
+    env_host = None
+    if save_maps and device_raygen and getattr(
+            getattr(model, "cfg", None), "use_envmap", False):
+        # the envmap is view-independent radiance — rendered ONCE by a
+        # tiny dedicated program instead of carrying a full-image env
+        # output (24 MB/image) through every render
+        env_out = renderer.render_view_async(
+            params, test_dataset.poses[idxs[0]], pretrain_envmap=True)
+        env_host = renderer.fetch_view(env_out).get("env")
+
+    def dispatch(img_idx):
+        if device_raygen:
+            return renderer.render_view_async(
+                params, test_dataset.poses[img_idx], keys=view_keys)
+        return test_dataset.all_rays[img_idx].reshape(-1, 6)
+
     psnrs, ssims, wssims, l_alex, l_vgg = [], [], [], [], []
+    t_wall0 = time.time()
+    pending = dispatch(idxs[0]) if idxs else None
     for out_idx, img_idx in enumerate(idxs):
         t0 = time.time()
         if device_raygen:
-            out = renderer.render_view(params, test_dataset.poses[img_idx])
+            nxt = (dispatch(idxs[out_idx + 1])
+                   if out_idx + 1 < len(idxs) else None)
+            out = renderer.fetch_view(pending)
+            pending = nxt
         else:
-            rays = test_dataset.all_rays[img_idx].reshape(-1, 6)
-            out = renderer.render_rays(params, rays)
+            out = renderer.render_rays(params, pending)
+            pending = (dispatch(idxs[out_idx + 1])
+                       if out_idx + 1 < len(idxs) else None)
+        if env_host is not None:
+            out.setdefault("env", env_host)
         elapsed = time.time() - t0
 
         rgb = out["rgb"].reshape(h, w, 3)
@@ -226,6 +281,10 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
                 imageio.imwrite(os.path.join(save_path, f"{prefix}{out_idx:03d}_bg.png"), to_uint8(bg))
         print(f"eval image {out_idx}: {elapsed:.2f}s"
               + (f", psnr {psnrs[-1]:.2f}" if psnrs else ""))
+    if len(idxs) > 1:
+        wall = time.time() - t_wall0
+        print(f"eval total: {len(idxs)} images in {wall:.2f}s "
+              f"({wall / len(idxs):.2f}s/image amortized)")
 
     if psnrs and save_path:
         # fixed 5-column row [psnr, ssim, ws_ssim, lpips_alex, lpips_vgg];

@@ -57,20 +57,29 @@ def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
 
     # the uncompacted render (keep=0) is the reference every other row's
     # psnr_vs_full is scored against, so it always runs and always runs
-    # FIRST — regardless of the order (or absence) of 0 in the sweep list
-    keeps = sorted(dict.fromkeys(int(k) for k in keeps), key=lambda k: k != 0)
-    if keeps[:1] != [0]:
-        keeps.insert(0, 0)
+    # FIRST — regardless of the order (or absence) of 0 in the sweep list.
+    # A trailing "o" on a keep (e.g. "192o") scores that row with the
+    # full-resolution ORACLE instead of the coarse pass (the keep-cliff
+    # mechanism experiment; models/egonerf.py forward eval_keep_score).
+    def _parse(k):
+        k = str(k)
+        return (int(k[:-1]), "oracle") if k.endswith("o") else (int(k), "coarse")
+
+    keeps = sorted(dict.fromkeys(_parse(k) for k in keeps),
+                   key=lambda ks: ks != (0, "coarse"))
+    if keeps[:1] != [(0, "coarse")]:
+        keeps.insert(0, (0, "coarse"))
 
     rows = []
     rgb_full = None
-    for keep in keeps:
+    for keep, score in keeps:
         renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
                             n_fine=(cfg.n_fine if cfg.resampling else 0),
                             exp_sampling=cfg.exp_sampling,
                             resampling=cfg.resampling,
                             use_coarse_sample=cfg.use_coarse_sample,
-                            white_bg=test_ds.white_bg, eval_keep=int(keep))
+                            white_bg=test_ds.white_bg, eval_keep=int(keep),
+                            eval_keep_score=score)
         renderer.set_directions(test_ds.directions)
         pose = test_ds.poses[0]
         out = renderer.render_view(params, pose)  # compile + warm
@@ -84,6 +93,7 @@ def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
             rgb_full = rgb
         row = {
             "eval_keep": int(keep),
+            "score": score,
             "sec_per_image": round(min(times), 3),
             "rays_per_sec": round(n_rays / min(times), 1),
             "psnr_vs_gt": round(float(psnr_fn(rgb, gt)), 3),
@@ -104,13 +114,16 @@ def main():
     require_tpu_relay()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     logdir = args[0] if args else "/tmp/egonerf_quality/refscale"
-    keeps = ([int(k) for k in args[1].split(",")] if len(args) > 1
+    keeps = (args[1].split(",") if len(args) > 1
              else [0, 192, 128, 96, 64])
     rec = _run(logdir, keeps)
     print(json.dumps(rec, indent=1), flush=True)
     from . import write_results
 
-    write_results("eval_bench", rec)
+    # EGONERF_RESULTS_NAME lets a sweep with a different purpose (e.g. the
+    # oracle-scorer mechanism experiment) land beside, not over, the
+    # round-3 eval_bench record
+    write_results(os.environ.get("EGONERF_RESULTS_NAME", "eval_bench"), rec)
 
 
 if __name__ == "__main__":

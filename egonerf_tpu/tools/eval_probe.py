@@ -74,14 +74,10 @@ def main(out_path: str = "/tmp/eval_probe.json") -> dict:
         renderer.set_directions(test_ds.directions)
 
         # device-array variant of render_view: no host fetch inside
-        rot = jnp.asarray(pose[:3, :3])
-        origin = jnp.asarray(pose[:3, 3])
-        key = ("view", renderer._dirs_buf.shape[0])
         renderer.render_view(trainer.params, pose)  # compile + warm
-        fn = renderer._jitted[key]
 
         def render_dev():
-            return fn(trainer.params, renderer._dirs_buf, rot, origin)
+            return renderer.render_view_async(trainer.params, pose)
 
         @jax.jit
         def reduce_all(out):

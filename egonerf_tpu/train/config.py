@@ -150,7 +150,11 @@ class Config:
     # -- TPU-framework extensions (no reference counterpart) ------------
     seed: int = 20221028
     compute_dtype: str = "bfloat16"  # float32 = conservative opt-out
-    eval_chunk: int = 8192          # rays per jitted eval chunk
+    # rays per jitted eval chunk.  4096 renders a 2000x1000 image 32%
+    # faster than 8192 on v5e (18.6 vs 24.6 s pure device compute — the
+    # larger chunk's (chunk, 256, 150) shader intermediates overflow VMEM
+    # and spill; tools/eval_probe sweep, BASELINE.md round-4 eval table)
+    eval_chunk: int = 4096
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     profile_dir: Optional[str] = None       # jax.profiler trace output
     # train steps fused into one dispatch via lax.scan (body compiled

@@ -358,3 +358,30 @@ def test_forward_with_gumbel_cull_runs_and_varies_kept_set():
     for g in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(grads["density_planes"][0]).sum()) > 0
+
+def test_eval_keep_oracle_scorer_beats_or_matches_coarse():
+    """The ORACLE scorer (full-resolution rendering weight,
+    models/egonerf.py forward eval_keep_score='oracle') on the opaque
+    field must reproduce the full render at least as well as the coarse
+    scorer — it ranks by the exact weights the compositor will use."""
+    model, params = make_model()
+    params = dict(params)
+    params["density_planes"] = [jnp.full_like(p, 1.3)
+                                for p in params["density_planes"]]
+    params["density_lines"] = [jnp.full_like(l, 1.3)
+                               for l in params["density_lines"]]
+    rays = random_rays(96, seed=11)
+    full = model.forward(params, rays, key=None, is_train=False,
+                         n_coarse=32, n_fine=32)
+
+    def cull_psnr(score):
+        out = model.forward(params, rays, key=None, is_train=False,
+                            n_coarse=32, n_fine=32, eval_keep=32,
+                            eval_keep_score=score)
+        assert out["alpha"].shape[-1] == 32
+        mse = float(jnp.mean((out["rgb"] - full["rgb"]) ** 2))
+        return -10.0 * np.log10(mse + 1e-12)
+
+    p_oracle, p_coarse = cull_psnr("oracle"), cull_psnr("coarse")
+    assert p_oracle > 45.0, f"oracle cull psnr {p_oracle:.2f}"
+    assert p_oracle >= p_coarse - 1.0, (p_oracle, p_coarse)
