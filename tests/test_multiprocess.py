@@ -59,6 +59,13 @@ print(f"POD_OK process={jax.process_index()} out={out}", flush=True)
 
 
 def _run_pod(tmp_path, worker_src: str, extra_args=(), timeout=420):
+    # the two workers compile a full train step each; when the suite
+    # shares the box with other jobs (e.g. a TPU eval sweep) compile wall
+    # stretches with the load average — scale the budget so contention
+    # doesn't read as a hang (observed: 420 s trips under load ~8, passes
+    # in 142 s on an idle box)
+    load = os.getloadavg()[0] / max(1, os.cpu_count())
+    timeout = timeout * min(3.0, 1.0 + load)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
