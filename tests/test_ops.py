@@ -484,13 +484,15 @@ def test_combine_mm_matches_einsum():
         np.testing.assert_array_equal(got_b, want_b)
 
 
-def test_unpack_plane_grads_flat_matches_legacy():
+def test_unpack_plane_grads_flat_matches_legacy(monkeypatch):
     """The flat-row unpack of packed corner cotangents (vm_lookup
-    _UNPACK_FLAT) must reproduce the legacy reshape+pad/DUS expression
-    exactly — same f32 values, same summation order (the formulation
-    change is layout-only)."""
+    _UNPACK_FLAT, pad-stencil OFF) must reproduce the legacy
+    reshape+pad/DUS expression exactly — same f32 values, same summation
+    order (the formulation change is layout-only)."""
     from egonerf_tpu.ops import vm_lookup as vl
 
+    monkeypatch.setattr(vl, "_UNPACK_FLAT", True)
+    monkeypatch.setattr(vl, "_UNPACK_PAD", False)
     rng = np.random.default_rng(11)
     for s, h, w, c in ((2, 6, 5, 4), (1, 3, 7, 2), (2, 4, 4, 3)):
         gpacked = jnp.asarray(
@@ -509,6 +511,31 @@ def test_unpack_plane_grads_flat_matches_legacy():
                     + vl._unshift_y(legacy_gb[..., 2, :])
                     + vl._unshift_x(vl._unshift_y(legacy_gb[..., 3, :])))
         np.testing.assert_array_equal(np.asarray(flat_b), np.asarray(legacy_b))
+
+
+def test_unpack_plane_grads_pad_matches_legacy(monkeypatch):
+    """The pad-stencil unpack (the shipped default) computes the same
+    exact-arithmetic sum as the legacy expression; only the f32 ADD ORDER
+    differs at edge-clamped rows, so equality holds to reassociation
+    epsilon (interior rows, where no clamp term fires, stay bit-exact)."""
+    from egonerf_tpu.ops import vm_lookup as vl
+
+    monkeypatch.setattr(vl, "_UNPACK_FLAT", True)
+    monkeypatch.setattr(vl, "_UNPACK_PAD", True)
+    rng = np.random.default_rng(11)
+    for s, h, w, c in ((2, 6, 5, 4), (1, 3, 7, 2), (2, 4, 4, 3)):
+        gpacked = jnp.asarray(
+            rng.normal(size=(s * h * w, 4 * c)).astype(np.float32))
+        pad = np.asarray(vl._unpack_plane_grads(gpacked, s, h, w, c))
+        legacy_g = gpacked.astype(jnp.float32).reshape(s, h, w, 4, c)
+        legacy = np.asarray(
+            legacy_g[..., 0, :] + vl._unshift_x(legacy_g[..., 1, :])
+            + vl._unshift_y(legacy_g[..., 2, :])
+            + vl._unshift_x(vl._unshift_y(legacy_g[..., 3, :])))
+        np.testing.assert_allclose(pad, legacy, rtol=1e-5, atol=1e-6)
+        # interior rows (no x0/x_last/y_last clamp term fires) see the
+        # identical add order -> bit-exact
+        np.testing.assert_array_equal(pad[:, :-1, 1:-1], legacy[:, :-1, 1:-1])
 
 
 def test_unpack_flat_is_pack_plane_adjoint():
