@@ -320,8 +320,6 @@ def evaluation_path(test_dataset, model, params, c2ws, renderer: Renderer,
     ffmpeg backend exists) mp4 videos (reference: renderer.py:199-255)."""
     import imageio.v2 as imageio
 
-    from ..data.ray_utils import get_rays
-
     w, h = test_dataset.img_wh
     if save_path:
         os.makedirs(save_path, exist_ok=True)
@@ -335,11 +333,21 @@ def evaluation_path(test_dataset, model, params, c2ws, renderer: Renderer,
         directions = get_ray_directions_360(h, w)
         directions = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
 
+    # device raygen + double buffering, same as evaluation(): the pose is
+    # applied to the resident direction buffer on device (the host-built
+    # (H*W, 6) ray upload costs ~30 ms/MB through the relay tunnel =
+    # seconds/frame at production size), and frame k's fetch + PNG/video
+    # encoding overlap frame k+1's compute
+    renderer.set_directions(np.asarray(directions, np.float32).reshape(-1, 3))
+    view_keys = ("rgb", "depth")
+    pending = (renderer.render_view_async(params, c2ws[0], keys=view_keys)
+               if len(c2ws) else None)
     for idx, c2w in enumerate(c2ws):
-        c2w = np.asarray(c2w, np.float32)
-        rays_o, rays_d = get_rays(directions, c2w)
-        rays = np.concatenate([rays_o, rays_d], -1)
-        out = renderer.render_rays(params, rays)
+        nxt = (renderer.render_view_async(params, c2ws[idx + 1],
+                                          keys=view_keys)
+               if idx + 1 < len(c2ws) else None)
+        out = renderer.fetch_view(pending)
+        pending = nxt
         rgb = to_uint8(out["rgb"].reshape(h, w, 3))
         depth_vis, _ = visualize_depth(out["depth"].reshape(h, w), test_dataset.near_far)
         rgb_maps.append(rgb)
