@@ -44,7 +44,7 @@ from ..ops.vm_lookup import (
 from ..ops.mm import mixed_matmul
 from ..ops.volrend import raw2alpha
 from .envmap import envmap_radiance, init_envmap
-from .shading import make_shader
+from .shading import _HOIST_DIRS, make_shader
 
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
 VEC_MODE = (2, 1, 0)
@@ -465,8 +465,14 @@ class EgoNeRF:
         feat, app_feat = self.compute_field(params, norm)
         sigma = feature2density(feat, cfg)
         alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
-        dirs = jnp.broadcast_to(viewdirs[:, None, :], norm.shape[:-1] + (3,))
-        rgb = self.shader.apply(params.get("shader"), norm, dirs, app_feat)
+        if _HOIST_DIRS and self.shader.name == "MLP_Fea":
+            # unexpanded per-ray dirs: MLP_Fea hoists their PE + first-layer
+            # rows to (R, ·) and broadcast-adds (see shading._HOIST_DIRS)
+            rgb = self.shader.apply(params.get("shader"), norm, viewdirs,
+                                    app_feat)
+        else:
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], norm.shape[:-1] + (3,))
+            rgb = self.shader.apply(params.get("shader"), norm, dirs, app_feat)
 
         # 6) composite
         acc = jnp.sum(weight, axis=-1)

@@ -43,6 +43,20 @@ _BIAS_DOT = _os.environ.get("EGONERF_BIAS_DOT", "0") == "1"
 # than it overlaps four partial sums).  OFF by default; kept opt-in for
 # re-checks.  Table: BASELINE.md round-4.
 _SPLIT_L1 = _os.environ.get("EGONERF_SPLIT_L1", "0") == "1"
+# Per-RAY hoist of the viewdir inputs: along one ray the view direction is
+# constant across all S merged samples, yet the concat formulation pays
+# pe(viewdirs) and the [dirs ⊕ pe(dirs)] rows of the first-layer matmul at
+# R·S rows (1.05M at the production shape) — 256x redundant.  With the
+# hoist, MLP_Fea receives UNEXPANDED (R, 3) viewdirs, computes the 15-col
+# ray term as a (R, 15) @ (15, 128) matmul, and broadcast-adds it into the
+# per-sample 135-col contraction: h = x_fea @ W_fea + (x_dir @ W_dir)[:,
+# None, :].  Unlike the rejected 4-way _SPLIT_L1 this keeps ONE big
+# per-sample contraction (135 of 150 cols) and moves the other matmul to
+# 4096 rows (free); f32 summation reorders to two partial sums (epsilon;
+# parity pinned by tests/test_model.py::test_hoist_dirs_matches_concat).
+# OFF by default until the in-situ bench measures it (protocol:
+# ops/vm_lookup.py §top).
+_HOIST_DIRS = _os.environ.get("EGONERF_HOIST_DIRS", "0") == "1"
 
 
 @jax.custom_vjp
@@ -104,6 +118,31 @@ def _mlp3_apply_parts(params, parts, mm=None):
     return _add_bias(mm(h, params["l3"]["w"]), params["l3"]["b"])
 
 
+def _mlp3_apply_hoist(params, features, viewdirs_ray, fea_pe, view_pe,
+                      mm=None):
+    """MLP_Fea first layer with the viewdir inputs hoisted to per-ray rows
+    (see the ``_HOIST_DIRS`` note).  ``features`` is (..., S, D_f);
+    ``viewdirs_ray`` is the UNEXPANDED (..., 3) per-ray direction.  l1.w's
+    row layout is the concat order [features, dirs, pe(features),
+    pe(dirs)], so the two sub-matrices are static row gathers of it —
+    parameters are untouched."""
+    mm = mm or (lambda a, b: a @ b)
+    w1 = params["l1"]["w"]
+    d_f = features.shape[-1]
+    n_pef = 2 * fea_pe * d_f
+    w_fea = jnp.concatenate([w1[:d_f], w1[d_f + 3 : d_f + 3 + n_pef]], axis=0)
+    w_dir = jnp.concatenate([w1[d_f : d_f + 3], w1[d_f + 3 + n_pef :]], axis=0)
+    x_fea = (jnp.concatenate([features, positional_encoding(features, fea_pe)],
+                             axis=-1) if fea_pe > 0 else features)
+    x_dir = (jnp.concatenate([viewdirs_ray,
+                              positional_encoding(viewdirs_ray, view_pe)],
+                             axis=-1) if view_pe > 0 else viewdirs_ray)
+    h = mm(x_fea, w_fea) + mm(x_dir, w_dir)[..., None, :]
+    h = jnp.maximum(_add_bias(h, params["l1"]["b"]), 0.0)
+    h = jnp.maximum(_add_bias(mm(h, params["l2"]["w"]), params["l2"]["b"]), 0.0)
+    return _add_bias(mm(h, params["l3"]["w"]), params["l3"]["b"])
+
+
 def _mlp3_init(key, n_in, hidden):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -135,6 +174,11 @@ def make_shader(mode: str, app_dim: int, pos_pe: int = 6, view_pe: int = 6,
             return _mlp3_init(key, n_in, feature_c)
 
         def apply(params, pts, viewdirs, features):
+            if viewdirs.ndim == features.ndim - 1:
+                # unexpanded per-ray dirs: the call site opted into the
+                # hoist (egonerf.py gates on _HOIST_DIRS + this mode)
+                return jax.nn.sigmoid(_mlp3_apply_hoist(
+                    params, features, viewdirs, fea_pe, view_pe, matmul))
             parts = [features, viewdirs]
             if fea_pe > 0:
                 parts.append(positional_encoding(features, fea_pe))

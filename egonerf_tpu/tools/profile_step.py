@@ -184,7 +184,11 @@ def families(profile_dir: str = PROFILE_DIR, write: bool = True):
         top_sig = examples[fam].most_common(1)[0][0]
         print(f"{fam:28s} {ms / n_steps:8.2f} {100 * ms / total:6.1f}%  {top_sig}")
         rows.append({"family": fam, "ms_per_step": round(ms / n_steps, 2),
-                     "share_pct": round(100 * ms / total, 1)})
+                     "share_pct": round(100 * ms / total, 1),
+                     # top op signatures INSIDE the family (ms/step) so the
+                     # next attack target is readable from the JSON alone
+                     "top_ops": [{"sig": sig, "ms_per_step": round(d / n_steps, 2)}
+                                 for sig, d in examples[fam].most_common(5)]})
     rec = {"ms_per_step_total": round(total / n_steps, 2),
            "n_steps": n_steps, "families": rows}
     if write:

@@ -152,6 +152,64 @@ def test_all_shading_modes():
         assert np.isfinite(np.asarray(rgb)).all(), mode
 
 
+def test_hoist_dirs_matches_concat():
+    """MLP_Fea with UNEXPANDED (R, 3) viewdirs (the _HOIST_DIRS per-ray
+    hoist path, rank-gated inside apply) must match the broadcast+concat
+    formulation — forward to f32 partial-sum tolerance, gradients likewise
+    (the parameter layout is untouched: the hoist row-slices l1.w)."""
+    import jax
+
+    from egonerf_tpu.models.shading import make_shader
+
+    rng = np.random.default_rng(7)
+    r, s, app_dim = 33, 17, 27
+    shader = make_shader("MLP_Fea", app_dim, view_pe=2, fea_pe=2,
+                         feature_c=128)
+    params = shader.init(jax.random.PRNGKey(3))
+    feats = jnp.asarray(rng.normal(size=(r, s, app_dim)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs_exp = jnp.broadcast_to(dirs[:, None, :], (r, s, 3))
+
+    def loss(p, d):
+        return jnp.sum(shader.apply(p, None, d, feats) ** 2)
+
+    out_hoist = np.asarray(shader.apply(params, None, dirs, feats))
+    out_cat = np.asarray(shader.apply(params, None, dirs_exp, feats))
+    assert out_hoist.shape == (r, s, 3)
+    np.testing.assert_allclose(out_hoist, out_cat, atol=1e-6)
+    g_hoist = jax.grad(loss)(params, dirs)
+    g_cat = jax.grad(loss)(params, dirs_exp)
+    for key in ("l1", "l2", "l3"):
+        for leaf in ("w", "b"):
+            a = np.asarray(g_hoist[key][leaf])
+            b = np.asarray(g_cat[key][leaf])
+            np.testing.assert_allclose(
+                a, b, atol=2e-4 * max(np.abs(b).max(), 1.0),
+                err_msg=f"{key}.{leaf}")
+
+
+def test_hoist_dirs_model_forward_matches(monkeypatch):
+    """End-to-end EgoNeRF forward under the _HOIST_DIRS gate matches the
+    default path at f32 partial-sum tolerance (rgb and all composited
+    outputs; density path untouched so depth is bit-identical)."""
+    import jax
+
+    from egonerf_tpu.models import egonerf as eg
+
+    model, params = make_model()
+    rays = random_rays(9, seed=11)
+    kwargs = dict(is_train=False, n_coarse=32, n_fine=16)
+
+    base = model.forward(params, rays, **kwargs)
+    monkeypatch.setattr(eg, "_HOIST_DIRS", True)
+    hoist = model.forward(params, rays, **kwargs)
+    np.testing.assert_array_equal(np.asarray(hoist["depth"]),
+                                  np.asarray(base["depth"]))
+    np.testing.assert_allclose(np.asarray(hoist["rgb"]),
+                               np.asarray(base["rgb"]), atol=2e-6)
+
+
 def test_split_l1_matches_concat_mlp():
     """MLP_Fea with the concat-free first layer (shading _SPLIT_L1) must
     match the concat formulation: forward to f32 partial-sum tolerance,
