@@ -331,3 +331,40 @@ def test_colmap_sharpness_and_selection(tmp_path):
     out3 = colmap_to_transforms(str(tmp_path), str(tmp_path / "t3.json"),
                                 skip_early=1, center=False)
     assert [f["file_path"] for f in out3["frames"]] == ["b.png"]
+
+
+def test_refscale_drift_parses_resets_and_events():
+    """parse_segments recovers per-step time from amortized rays/s lines,
+    re-anchoring at the per-vis counter reset (detected as an implied-wall
+    drop) and surviving the artifact line printed with a freshly-reset
+    counter; drift_blocks excludes event segments from the mean."""
+    from egonerf_tpu.tools.refscale_drift import drift_blocks, parse_segments
+
+    batch = 4096
+
+    def line(it, raysps):
+        return f"iter {it:06d} psnr 50.00 test 0.00 mse 0.0 rays/s {raysps:,.0f}\n"
+
+    # window 1: exact 100 ms/step from a cold start with 10 s of compile
+    text = ""
+    for it in range(500, 3001, 500):
+        text += line(it, it * batch / (10.0 + it * 0.1))
+    # vis at 3000: counter resets; the next progress line is the artifact
+    # (tiny counter -> absurd rays/s), then window 2 at exact 120 ms/step
+    text += line(3500, 50)
+    for it in range(4000, 6001, 500):
+        text += line(it, (it - 3500) * batch / ((it - 3500) * 0.12))
+    segs = parse_segments(text, batch)
+    by_mid = dict(segs)
+    assert abs(by_mid[1750] - 100.0) < 0.1
+    assert abs(by_mid[5250] - 120.0) < 0.1
+    # no segment spans the reset with a bogus value (the artifact line
+    # re-anchors the window; anything kept must be a real rate)
+    assert all(50.0 <= ms <= 500.0 for _, ms in segs), segs
+
+    blocks = drift_blocks(segs, block=3000)
+    assert blocks[0]["median_ms_per_step"] == 100.0
+    # an event segment (one 10x spike) is excluded from the mean
+    blocks2 = drift_blocks(segs + [(2600, 1000.0)], block=3000)
+    assert blocks2[0]["n_event_segments"] == 1
+    assert abs(blocks2[0]["mean_ms_per_step"] - 100.0) < 1.0
