@@ -29,7 +29,7 @@ from ..ops.volrend import raw2alpha
 from .alphamask import AlphaGridMask, bake_alpha_mask
 from .egonerf import MAT_MODE, VEC_MODE, FieldConfig, feature2density
 from .envmap import envmap_radiance, init_envmap
-from .shading import make_shader
+from .shading import _HOIST_DIRS, make_shader
 
 
 class TensorBase:
@@ -231,8 +231,14 @@ class TensorBase:
         sigma = jnp.where(valid, feature2density(feat, cfg), 0.0)
         alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
 
-        dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-        rgb = self.shader.apply(params.get("shader"), norm, dirs, app_feat)
+        if _HOIST_DIRS and self.shader.name == "MLP_Fea":
+            # unexpanded per-ray dirs: MLP_Fea hoists their PE + first-layer
+            # rows to (R, ·) and broadcast-adds (see shading._HOIST_DIRS)
+            rgb = self.shader.apply(params.get("shader"), norm, viewdirs,
+                                    app_feat)
+        else:
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+            rgb = self.shader.apply(params.get("shader"), norm, dirs, app_feat)
         # zero out sub-threshold contributions exactly like the reference's
         # app_mask compute gate (reference: models/tensorBase.py:482-487)
         rgb = jnp.where((weight > cfg.ray_march_weight_thres)[..., None], rgb, 0.0)

@@ -150,3 +150,21 @@ def test_packed_alpha_mask_matches_trilinear_golden():
         ym.volume, jnp.asarray(c4[:, 0]), jnp.asarray(c4[:, 1]),
         jnp.asarray(c4[:, 2]), jnp.asarray(c4[:, 3].astype(np.int32))))[:, 0]
     np.testing.assert_allclose(got2, want2, atol=1e-6)
+
+
+def test_hoist_dirs_forward_matches(monkeypatch):
+    """TensoRF forward under the EGONERF_HOIST_DIRS gate (per-ray viewdir
+    hoist in the MLP_Fea shader, see models/shading.py) matches the
+    broadcast+concat default at f32 partial-sum tolerance; the density
+    path is untouched so depth is bit-identical."""
+    from egonerf_tpu.models import tensorf as tf_mod
+
+    model, params = make_model()
+    rays = random_rays(7, seed=5)
+    base = model.forward(params, rays, n_coarse=24)
+    monkeypatch.setattr(tf_mod, "_HOIST_DIRS", True)
+    hoist = model.forward(params, rays, n_coarse=24)
+    np.testing.assert_array_equal(np.asarray(hoist["depth"]),
+                                  np.asarray(base["depth"]))
+    np.testing.assert_allclose(np.asarray(hoist["rgb"]),
+                               np.asarray(base["rgb"]), atol=2e-6)
