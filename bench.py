@@ -161,12 +161,8 @@ def main():
             eval_ds = SyntheticEgoDataset(
                 split="test", is_stack=True, n_train=2, n_test=1,
                 height=1000, width=2000, near_far=cfg.near_far)
-            renderer = Renderer(
-                trainer.model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
-                n_fine=(cfg.n_fine if cfg.resampling else 0),
-                exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-                use_coarse_sample=cfg.use_coarse_sample,
-                white_bg=eval_ds.white_bg, eval_keep=cfg.eval_keep)
+            renderer = Renderer.from_config(trainer.model, cfg,
+                                            eval_ds.white_bg)
             renderer.set_directions(eval_ds.directions)
             pose = eval_ds.poses[0]
             renderer.render_view(trainer.params, pose)  # compile + warm

@@ -47,6 +47,24 @@ class Renderer:
         self._dirs_buf = None
         self._n_rays_view = 0
 
+    @classmethod
+    def from_config(cls, model, cfg, white_bg, chunk=None, mesh=None,
+                    **overrides):
+        """The ONE mapping from a training config to render kwargs —
+        shared by the trainer, the checkpoint evaluator, bench.py and the
+        eval measurement tools, so a new render-affecting flag is threaded
+        through a single place.  ``chunk`` defaults to ``cfg.eval_chunk``;
+        ``overrides`` win over config-derived kwargs (e.g. eval_bench's
+        per-row ``eval_keep``)."""
+        kw = dict(n_coarse=cfg.n_coarse,
+                  n_fine=(cfg.n_fine if cfg.resampling else 0),
+                  exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
+                  use_coarse_sample=cfg.use_coarse_sample,
+                  white_bg=white_bg, eval_keep=cfg.eval_keep)
+        kw.update(overrides)
+        return cls(model, chunk=int(cfg.eval_chunk if chunk is None else chunk),
+                   mesh=mesh, **kw)
+
     def _get_fn(self, pretrain_envmap: bool, n_chunks: int):
         cache_key = (pretrain_envmap, n_chunks)
         fn = self._jitted.get(cache_key)
@@ -219,7 +237,7 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
     save_maps = bool(save_path and save_images)
     view_keys = ("rgb", "depth") + (("bg",) if save_maps else ())
     env_host = None
-    if save_maps and device_raygen and getattr(
+    if idxs and save_maps and device_raygen and getattr(
             getattr(model, "cfg", None), "use_envmap", False):
         # the envmap is view-independent radiance — rendered ONCE by a
         # tiny dedicated program instead of carrying a full-image env

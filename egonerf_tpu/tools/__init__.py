@@ -2,17 +2,25 @@
 from __future__ import annotations
 
 
-def write_results(name: str, obj) -> str:
-    """Write ``obj`` to the repo's ``docs/results_<name>.json``.
-
-    Shared by every experiment driver so the results location has one
-    definition; returns the written path.
-    """
-    import json
+def results_path(name: str) -> str:
+    """The repo's ``docs/results_<name>.json`` — ONE definition, shared by
+    writers (``write_results``) and readers (e.g. seed_ab's merge-on-write
+    resume, which must read the same file it writes)."""
     import os
 
-    path = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+    return os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
                                         "docs", f"results_{name}.json"))
+
+
+def write_results(name: str, obj) -> str:
+    """Write ``obj`` to :func:`results_path`; returns the written path.
+
+    Shared by every experiment driver so the results location has one
+    definition.
+    """
+    import json
+
+    path = results_path(name)
     with open(path, "w") as f:
         json.dump(obj, f, indent=1)
     return path

@@ -228,7 +228,10 @@ def colmap_to_transforms(text_dir: str, out_path: str, aabb_scale: int = 16,
     is_spherical = bool(intr.pop("is_spherical", False))
 
     frames = []
-    for im in sorted(images, key=lambda i: i["name"])[skip_early:]:
+    # skip_early drops the first N *registered* frames in images.txt file
+    # order (reference: dataLoader/colmap2nerf.py:243-245 counts file
+    # lines), THEN the survivors sort by name for stable output order
+    for im in sorted(images[skip_early:], key=lambda i: i["name"]):
         frame = {"file_path": (os.path.join(image_dir, im["name"])
                                if image_dir else im["name"]),
                  "transform_matrix": _ngp_c2w(im["qvec"], im["tvec"])}

@@ -73,13 +73,9 @@ def _run(logdir: str, keeps, n_repeats: int = 2, n_train: int = 12,
     rows = []
     rgb_full = None
     for keep, score in keeps:
-        renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
-                            n_fine=(cfg.n_fine if cfg.resampling else 0),
-                            exp_sampling=cfg.exp_sampling,
-                            resampling=cfg.resampling,
-                            use_coarse_sample=cfg.use_coarse_sample,
-                            white_bg=test_ds.white_bg, eval_keep=int(keep),
-                            eval_keep_score=score)
+        renderer = Renderer.from_config(model, cfg, test_ds.white_bg,
+                                        eval_keep=int(keep),
+                                        eval_keep_score=score)
         renderer.set_directions(test_ds.directions)
         pose = test_ds.poses[0]
         out = renderer.render_view(params, pose)  # compile + warm

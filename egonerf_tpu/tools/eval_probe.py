@@ -65,12 +65,8 @@ def main(out_path: str = "/tmp/eval_probe.json") -> dict:
 
     rows = []
     for chunk in chunks:
-        renderer = Renderer(
-            trainer.model, chunk=chunk, n_coarse=cfg.n_coarse,
-            n_fine=(cfg.n_fine if cfg.resampling else 0),
-            exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-            use_coarse_sample=cfg.use_coarse_sample,
-            white_bg=test_ds.white_bg, eval_keep=cfg.eval_keep)
+        renderer = Renderer.from_config(trainer.model, cfg, test_ds.white_bg,
+                                        chunk=chunk)
         renderer.set_directions(test_ds.directions)
 
         # device-array variant of render_view: no host fetch inside

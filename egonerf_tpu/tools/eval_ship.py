@@ -39,12 +39,7 @@ def main(n_images: int = 4) -> dict:
         SyntheticEgoDataset(split="train", is_stack=False, **common),
         SyntheticEgoDataset(split="test", is_stack=True, **common))
     test_ds = trainer.test_dataset
-    renderer = Renderer(
-        trainer.model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
-        n_fine=(cfg.n_fine if cfg.resampling else 0),
-        exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-        use_coarse_sample=cfg.use_coarse_sample,
-        white_bg=test_ds.white_bg, eval_keep=cfg.eval_keep)
+    renderer = Renderer.from_config(trainer.model, cfg, test_ds.white_bg)
 
     out_dir = "/tmp/egonerf_eval_ship/imgs"
     # warm pass compiles every program the loop uses (render + env)

@@ -16,7 +16,7 @@ Usage:
 """
 from __future__ import annotations
 
-import dataclasses
+
 
 import os
 import sys
@@ -134,7 +134,8 @@ def _export_tensorf(family, spec, cfg, params, masks, out_path, near_far,
 
 
 def export(ckpt_path: str, out_path: str,
-           reference: str = "/root/reference", near_far=None) -> dict:
+           reference: str = "/root/reference", near_far=None,
+           family: str = None) -> dict:
     if not os.path.isdir(reference):
         raise SystemExit(
             f"reference checkout not found at {reference!r} — exporting "
@@ -143,31 +144,37 @@ def export(ckpt_path: str, out_path: str,
 
     from ..coords import coords_from_spec
     from ..models import build_model
-    from ..models.egonerf import EgoNeRF, FieldConfig
+    from ..models.egonerf import EgoNeRF
     from ..train.checkpoint import load_checkpoint, unflatten_params
     from .headtohead_reference import _copy_params_to_ref, _stub_ref_deps
 
+    from ..models import _field_config
+
     flat, header, masks = load_checkpoint(ckpt_path)
     spec, meta = header["coords_spec"], header["model_meta"]
+    cfg = _field_config(None, meta=meta)
     if spec["name"] != "yinyang":
         from ..models.tensorf import TensorCP, TensorVM, TensorVMSplit
 
         coords = coords_from_spec(spec)
         aabb = np.asarray(spec["aabb"], np.float32)
-        fields = {f.name for f in dataclasses.fields(FieldConfig)}
-        cfg = FieldConfig(**{**{k: v for k, v in meta.items() if k in fields},
-                             "density_n_comp": tuple(meta["density_n_comp"]),
-                             "app_n_comp": tuple(meta["app_n_comp"])})
         cls = {"TensorVMSplit": TensorVMSplit, "TensorVM": TensorVM,
                "TensorCP": TensorCP}
         near_far = near_far or [0.05, float(np.max(np.abs(aabb)))]
-        family = meta.get("model_name")
+        family = family or meta.get("model_name")
         if family not in cls:
-            # legacy checkpoint without model_name: detect from the stored
-            # parameter names (flat keys are '<group>.<index>...' paths)
-            family = ("TensorCP" if not any(
-                k.startswith("density_planes") for k in flat) else
-                "TensorVMSplit")
+            # legacy checkpoint without model_name: CP is structurally
+            # unambiguous (no plane params), but VM and VMSplit share the
+            # per-axis layout while their density math differs (VMSplit
+            # applies a per-axis ReLU, reference tensoRF.py:210; VM is a
+            # raw product) — refuse to guess between them
+            if not any(k.startswith("density_planes") for k in flat):
+                family = "TensorCP"
+            else:
+                raise SystemExit(
+                    "legacy checkpoint lacks model_name and VM/VMSplit "
+                    "share a parameter layout with different density math "
+                    "— pass --family=TensorVMSplit or --family=TensorVM")
         model = cls[family](aabb, coords.resolution, coords, cfg,
                             near_far=near_far)
         params = unflatten_params(model.init_params(jax.random.PRNGKey(0)),
@@ -181,10 +188,6 @@ def export(ckpt_path: str, out_path: str,
 
     coords = coords_from_spec(spec)
     aabb = np.asarray(spec["aabb"], np.float32)
-    fields = {f.name for f in dataclasses.fields(FieldConfig)}
-    cfg = FieldConfig(**{**{k: v for k, v in meta.items() if k in fields},
-                         "density_n_comp": tuple(meta["density_n_comp"]),
-                         "app_n_comp": tuple(meta["app_n_comp"])})
     # near_far lives in the training config, not the checkpoint header —
     # pass --near_far to pin it exactly (it steers the reference's ray
     # sampling, not any exported tensor); default spans the scene sphere
@@ -243,15 +246,19 @@ def main():
         raise SystemExit(__doc__)
     reference = "/root/reference"
     near_far = None
+    family = None
     for a in sys.argv[1:]:
         if a.startswith("--reference="):
             reference = a.split("=", 1)[1]
         elif a.startswith("--near_far="):
             near_far = [float(v) for v in
                         a.split("=", 1)[1].strip("[]").split(",")]
+        elif a.startswith("--family="):
+            family = a.split("=", 1)[1]
     import json
 
-    print(json.dumps(export(args[0], args[1], reference, near_far)))
+    print(json.dumps(export(args[0], args[1], reference, near_far,
+                            family=family)))
 
 
 if __name__ == "__main__":

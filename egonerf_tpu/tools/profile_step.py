@@ -81,12 +81,9 @@ def capture_eval(height: int = 1000, width: int = 2000, n_images: int = 2):
         SyntheticEgoDataset(split="train", is_stack=False, **common),
         SyntheticEgoDataset(split="test", is_stack=True, **common))
     test_ds = trainer.test_dataset
-    renderer = Renderer(
-        trainer.model, chunk=int(os.environ.get("PROFILE_EVAL_CHUNK",
-                                                cfg.eval_chunk)),
-        n_coarse=cfg.n_coarse, n_fine=(cfg.n_fine if cfg.resampling else 0),
-        exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-        use_coarse_sample=cfg.use_coarse_sample, white_bg=test_ds.white_bg)
+    renderer = Renderer.from_config(
+        trainer.model, cfg, test_ds.white_bg,
+        chunk=int(os.environ.get("PROFILE_EVAL_CHUNK", cfg.eval_chunk)))
     renderer.set_directions(test_ds.directions)
     pose = test_ds.poses[0]
     import time
@@ -153,6 +150,10 @@ def families(profile_dir: str = PROFILE_DIR, write: bool = True):
         return None
     md = {m.id: m.name for m in plane.event_metadata.values()}
     line = next((l for l in plane.lines if l.name == "XLA Ops"), None)
+    if line is None:
+        print("no 'XLA Ops' line in the TPU plane (sparse capture or "
+              "unexpected runtime version)", file=sys.stderr)
+        return None
     n_steps = _traced_steps(profile_dir)
     per_fam, examples = Counter(), {}
     span = 0.0

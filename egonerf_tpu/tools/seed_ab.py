@@ -101,11 +101,9 @@ def _write(runs, seeds, n_iters):
 
     Keyed by (arm, seed): re-runs replace, prior invocations' completed
     pairs persist — the deadline stop and a later resume compose."""
-    from . import write_results
+    from . import results_path, write_results
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))),
-        "docs", "results_seed_ab.json")
+    path = results_path("seed_ab")
     merged = {}
     if os.path.exists(path):
         try:

@@ -252,12 +252,9 @@ class Trainer:
             if u < self.start_step and self.n_voxel_list:
                 self.n_voxel_list.pop(0)
 
-        self.renderer = Renderer(
-            self.model, chunk=cfg.eval_chunk, mesh=self.mesh if self.multi_device else None,
-            n_coarse=cfg.n_coarse, n_fine=(cfg.n_fine if cfg.resampling else 0),
-            exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-            use_coarse_sample=cfg.use_coarse_sample, white_bg=self.white_bg,
-            eval_keep=cfg.eval_keep)
+        self.renderer = Renderer.from_config(
+            self.model, cfg, self.white_bg,
+            mesh=self.mesh if self.multi_device else None)
 
         self._step_cache = {}
         self.lr_factor = cfg.lr_decay_target_ratio ** (1.0 / self.decay_iters)
@@ -821,12 +818,7 @@ def render_test(cfg: Config):
     params = unflatten_params(template, flat)
     Trainer.restore_alpha_mask(model, masks)
 
-    renderer = Renderer(model, chunk=cfg.eval_chunk, n_coarse=cfg.n_coarse,
-                        n_fine=(cfg.n_fine if cfg.resampling else 0),
-                        exp_sampling=cfg.exp_sampling, resampling=cfg.resampling,
-                        use_coarse_sample=cfg.use_coarse_sample,
-                        white_bg=test_dataset.white_bg,
-                        eval_keep=cfg.eval_keep)
+    renderer = Renderer.from_config(model, cfg, test_dataset.white_bg)
     out_dir = os.path.join(logdir, "evaluation")
     return evaluation(test_dataset, model, params, renderer, save_path=out_dir,
                       n_vis=-1, compute_extra_metrics=True)
