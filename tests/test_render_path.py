@@ -80,3 +80,27 @@ def test_render_view_matches_render_rays():
     out_rays = renderer.render_rays(params, np.concatenate([rays_o, rays_d], -1))
     np.testing.assert_allclose(out_view["rgb"], out_rays["rgb"], atol=1e-5)
     np.testing.assert_allclose(out_view["depth"], out_rays["depth"], atol=1e-4)
+
+
+def test_renderer_from_config_mapping():
+    """Renderer.from_config is the one config->render-kwargs mapping:
+    cfg fields map through (n_fine zeroed when resampling is off, chunk
+    defaults to eval_chunk) and explicit overrides win."""
+    from types import SimpleNamespace
+
+    cfg = SimpleNamespace(n_coarse=48, n_fine=48, resampling=False,
+                          exp_sampling=True, use_coarse_sample=True,
+                          eval_chunk=4096, eval_keep=0)
+    r = Renderer.from_config(model=None, cfg=cfg, white_bg=True)
+    assert r.chunk == 4096
+    assert r.render_kwargs["n_fine"] == 0  # resampling off zeroes n_fine
+    assert r.render_kwargs["n_coarse"] == 48
+    assert r.render_kwargs["white_bg"] is True
+
+    cfg.resampling = True
+    r2 = Renderer.from_config(None, cfg, False, chunk=512,
+                              eval_keep=192, eval_keep_score="oracle")
+    assert r2.chunk == 512
+    assert r2.render_kwargs["n_fine"] == 48
+    assert r2.render_kwargs["eval_keep"] == 192       # override wins
+    assert r2.render_kwargs["eval_keep_score"] == "oracle"
