@@ -64,6 +64,65 @@ def relay_ready(wait_s: float | None = None) -> str | None:
 _TPU_LOCK_FD = None  # held for the life of the process once acquired
 
 
+def yield_path() -> str:
+    """The chip-yield request file (``$TPU_YIELD_PATH``; beside the lock).
+
+    Round-4 postmortem (VERDICT r4 #1): a 4-hour quality run held the chip
+    flock through the driver's bench window and the official capture timed
+    out empty.  The fix is cooperative: lock *waiters* touch this file
+    (:func:`request_tpu_yield`, called from the :func:`acquire_tpu_lock`
+    poll loop) and long-running lock *holders* poll it at chunk boundaries
+    (:func:`tpu_yield_requested`; Trainer.train checkpoints and exits
+    resumable) — so no long job can starve a capture again."""
+    import os
+
+    return os.environ.get("TPU_YIELD_PATH", "/tmp/egonerf_tpu.yield")
+
+
+def request_tpu_yield() -> None:
+    """Ask the current chip holder to yield: touch the yield file (mtime is
+    the request's freshness; stale files are ignored, see
+    :func:`tpu_yield_requested`)."""
+    import os
+
+    path = yield_path()
+    try:
+        with open(path, "a"):
+            os.utime(path, None)
+    except OSError:
+        pass  # an unwritable /tmp just degrades to the old wait behavior
+
+
+def tpu_yield_requested(max_age_s: float = 120.0) -> bool:
+    """True when a chip waiter touched the yield file recently.
+
+    Freshness-gated so an abandoned request file (e.g. a waiter that was
+    killed) cannot keep interrupting future runs: waiters re-touch every
+    poll interval (10 s), so a live request is always < ``max_age_s`` old."""
+    import os
+    import time
+
+    try:
+        return (time.time() - os.path.getmtime(yield_path())) < max_age_s
+    except OSError:
+        return False
+
+
+def clear_tpu_yield() -> None:
+    """Remove the yield file (called by a waiter once it acquires the lock;
+    any *other* still-waiting process re-touches it within one poll)."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(yield_path())
+
+
+def holds_tpu_lock() -> bool:
+    """True when THIS process currently holds the chip flock."""
+    return _TPU_LOCK_FD is not None
+
+
 def acquire_tpu_lock(wait_s: float | None = None) -> bool:
     """Serialize chip users via an exclusive flock on ``/tmp/egonerf_tpu.lock``.
 
@@ -96,21 +155,37 @@ def acquire_tpu_lock(wait_s: float | None = None) -> bool:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             _TPU_LOCK_FD = fd  # keep the fd open = keep the lock
+            # clear any pending yield request so it can't instantly yield
+            # THIS run; a still-waiting process re-touches within one poll
+            clear_tpu_yield()
             return True
         except OSError:
+            # ask the holder to checkpoint + exit resumable (VERDICT r4 #1b)
+            # — on every failed attempt, so even a deadline-capped waiter
+            # leaves the request behind for the holder's next chunk check
+            request_tpu_yield()
             if time.monotonic() >= deadline:
                 os.close(fd)
                 return False
-            time.sleep(10)
+            time.sleep(min(10.0, max(0.1, deadline - time.monotonic())))
 
 
 def require_tpu_relay() -> None:
     """SystemExit with a clear error when the relay stays down past the
     bounded poll (see :func:`relay_ready`); once the relay answers, also
     take the chip lock (:func:`acquire_tpu_lock`) so sequential experiment
-    drivers never overlap on the single TPU."""
+    drivers never overlap on the single TPU.
+
+    Also marks this process *yieldable* (``$TPU_YIELDABLE=1``): every long
+    experiment driver enters through here, and Trainer.train checkpoints +
+    exits resumable when a lock waiter (e.g. the driver's official bench
+    capture) requests the chip.  bench.py deliberately does NOT come
+    through here, so the capture itself can never be yanked mid-run."""
+    import os
+
     err = relay_ready()
     if err:
         raise SystemExit(
             f"{err}; this tool needs the TPU — re-run when the relay returns")
     acquire_tpu_lock()
+    os.environ.setdefault("TPU_YIELDABLE", "1")

@@ -560,6 +560,22 @@ class Trainer:
             return step_fn(self.params, self.opt_state, key, step0, self._train_buf)
         return step_fn(self.params, self.opt_state, batch, key, step0)
 
+    def _yield_check(self) -> bool:
+        """True when this process holds the chip flock and a lock waiter has
+        freshly requested a yield (tools.request_tpu_yield — touched by
+        ``acquire_tpu_lock``'s poll loop).  Yielding is opt-in via
+        ``$TPU_YIELDABLE=1`` — set by ``tools.require_tpu_relay`` so every
+        long experiment driver yields, while bench.py (a short capture that
+        must never be interrupted) and plain CLI runs do not.  Only ever
+        true on the real TPU; CPU tests never yield."""
+        if os.environ.get("TPU_YIELDABLE", "") != "1":
+            return False
+        if os.environ.get("JAX_PLATFORMS", "") != "axon":
+            return False
+        from ..tools import holds_tpu_lock, tpu_yield_requested
+
+        return holds_tpu_lock() and tpu_yield_requested()
+
     def _stop_profile_trace(self, traced_steps: int):
         jax.profiler.stop_trace()
         # chunking rounds the trace window to whole fused chunks — record
@@ -693,6 +709,20 @@ class Trainer:
 
             if iteration in self.upsamp_list:
                 self._upsample(iteration)
+
+            # Cooperative chip yield (VERDICT r4 #1b): when this process
+            # holds the TPU flock and a waiter (e.g. the driver's bench
+            # capture) has touched the yield file, checkpoint and exit
+            # resumable instead of holding the chip for hours.  The check
+            # costs one getmtime per fused chunk (~6 s at production shape).
+            if self._yield_check():
+                self.save(os.path.join(
+                    self.logdir, f"{cfg.expname}_{iteration:06d}.npz"), iteration)
+                self.log.flush()
+                print(f"TPU yield requested — checkpointed at iter {iteration}; "
+                      f"resume with --resume (same semantics as a periodic "
+                      f"checkpoint restart)", flush=True)
+                raise SystemExit(3)
 
             iteration += 1
 
