@@ -45,6 +45,10 @@ def build_model(cfg, aabb, grid_size, coordinates, near_far, meta=None):
     # a hand-matched config (reference keeps it config-side via eval(),
     # train.py:55)
     name = (meta or {}).get("model_name") or cfg.model_name
+    if (meta or {}).get("model_name") and name != cfg.model_name:
+        print(f"build_model: checkpoint stores model_name={name!r}; the "
+              f"config's {cfg.model_name!r} is ignored (a checkpoint's "
+              f"family always wins)")
     if name == "EgoNeRF":
         return EgoNeRF(aabb, grid_size, coordinates, field_cfg, near_far=near_far)
     if name in ("TensorVMSplit", "TensorVM", "TensorCP"):

@@ -58,6 +58,16 @@ def rotmat_between(a, b):
     v = np.cross(a, b)
     c = float(np.dot(a, b))
     s = float(np.linalg.norm(v))
+    if c < -1.0 + 1e-8:
+        # anti-parallel vectors (upside-down rig): the Rodrigues form below
+        # blows up ((1-c)/s^2 with s~0); a 180-degree rotation about any
+        # axis orthogonal to `a` is exact (upstream instant-ngp lacks this
+        # guard and emits a garbage rotation)
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-6:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        axis = axis / np.linalg.norm(axis)
+        return 2.0 * np.outer(axis, axis) - np.eye(3)
     kmat = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
     return np.eye(3) + kmat + kmat @ kmat * ((1 - c) / (s ** 2 + 1e-10))
 
@@ -213,6 +223,12 @@ def normalize_poses(frames: list, is_spherical: bool) -> None:
         f["transform_matrix"][0:3, 3] -= totp
     avglen = np.mean([np.linalg.norm(f["transform_matrix"][0:3, 3])
                       for f in frames])
+    # degenerate capture: every recentered origin at the attention center
+    # gives avglen 0 and upstream silently emits NaN poses — fail loudly
+    if not avglen > 0:
+        raise ValueError(
+            "normalize_poses: all camera origins coincide with the "
+            "attention center (avglen=0) — cannot scale this capture")
     for f in frames:
         f["transform_matrix"][0:3, 3] *= 4.0 / avglen
 

@@ -211,6 +211,16 @@ def test_evaluation_produces_images(trained):
     vals = np.atleast_1d(np.loadtxt(os.path.join(out_dir, "mean.txt")))
     assert vals.shape == (5,)
     assert np.isfinite(vals[:3]).all()
+    # mean.json carries the labeled schema, incl. WS-PSNR (the reference's
+    # own TODO at renderer.py:89 — first-class here, json-only so mean.txt
+    # keeps its reference-compatible 5 columns)
+    import json
+
+    with open(os.path.join(out_dir, "mean.json")) as f:
+        summary = json.load(f)
+    for k in ("psnr", "ssim", "ws_ssim", "ws_psnr"):
+        assert isinstance(summary[k], float) and np.isfinite(summary[k]), k
+    assert summary["n_images"] == len(psnrs)
 
 
 def test_multidevice_schedule_boundaries(tmp_path):

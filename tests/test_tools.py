@@ -368,3 +368,34 @@ def test_refscale_drift_parses_resets_and_events():
     blocks2 = drift_blocks(segs + [(2600, 1000.0)], block=3000)
     assert blocks2[0]["n_event_segments"] == 1
     assert abs(blocks2[0]["mean_ms_per_step"] - 100.0) < 1.0
+
+
+def test_rotmat_between_antiparallel_guard():
+    """ADVICE r4: anti-parallel inputs (upside-down rig) must produce an
+    exact 180-degree rotation, not the Rodrigues blow-up upstream emits
+    (reference vendored colmap2nerf.py:125-131 lacks the guard)."""
+    from egonerf_tpu.tools.colmap2nerf import rotmat_between
+
+    a = np.array([0.0, 0.0, 1.0])
+    r = rotmat_between(a, -a)
+    np.testing.assert_allclose(r @ a, -a, atol=1e-12)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+    assert np.isclose(np.linalg.det(r), 1.0)
+    # nearly anti-parallel also stays finite and correct
+    b = np.array([1e-10, 0.0, -1.0])
+    r2 = rotmat_between(a, b / np.linalg.norm(b))
+    assert np.all(np.isfinite(r2))
+    np.testing.assert_allclose(r2 @ a, b / np.linalg.norm(b), atol=1e-4)
+
+
+def test_normalize_poses_degenerate_capture_raises():
+    """ADVICE r4: all origins at the attention center (avglen=0) must fail
+    loudly instead of silently emitting NaN poses like upstream."""
+    import pytest
+
+    from egonerf_tpu.tools.colmap2nerf import normalize_poses
+
+    m = np.eye(4)
+    frames = [{"transform_matrix": m.copy()}, {"transform_matrix": m.copy()}]
+    with pytest.raises(ValueError, match="avglen"):
+        normalize_poses(frames, is_spherical=True)
