@@ -135,7 +135,8 @@ _FAMILY_RULES = (
 )
 
 
-def families(profile_dir: str = PROFILE_DIR, write: bool = True):
+def families(profile_dir: str = PROFILE_DIR, write: bool = True,
+             name: str = "profile_families"):
     """Bucket every leaf op on the device timeline into a named family;
     the table sums to the full measured step."""
     import re
@@ -158,13 +159,16 @@ def families(profile_dir: str = PROFILE_DIR, write: bool = True):
     per_fam, examples = Counter(), {}
     span = 0.0
     for ev in line.events:
-        name = md.get(ev.metadata_id, "?")
+        # NB: do not call this `name` — it would shadow the artifact-name
+        # parameter and write_results() below would use an HLO op string
+        # as the filename (happened once; the artifact had to be salvaged)
+        op_name = md.get(ev.metadata_id, "?")
         dur = ev.duration_ps / 1e9
         span = max(span, (ev.offset_ps + ev.duration_ps) / 1e9)
         if dur > 50.0 * n_steps:  # the whole-module wrapper event
             continue
-        m = re.match(r"%?([a-z_\-]+)[.\d]* (= \S+?\[[\d,]*\])", name)
-        key = f"{m.group(1)} {m.group(2)}" if m else name[:80]
+        m = re.match(r"%?([a-z_\-]+)[.\d]* (= \S+?\[[\d,]*\])", op_name)
+        key = f"{m.group(1)} {m.group(2)}" if m else op_name[:80]
         # rules see ONLY the opcode + output signature — matching the full
         # line would key on the op's *inputs* (a gather READS a plane
         # table; only the scatter WRITES one)
@@ -175,7 +179,7 @@ def families(profile_dir: str = PROFILE_DIR, write: bool = True):
                 break
         per_fam[fam] += dur
         ex = examples.setdefault(fam, Counter())
-        ex[name.split(" = ")[-1][:48]] += dur
+        ex[op_name.split(" = ")[-1][:48]] += dur
     total = sum(per_fam.values())
     print(f"\n=== family accounting: {total / n_steps:.1f} ms/step over "
           f"{n_steps} steps (device timeline tiles fully: union==span) ===")
@@ -195,7 +199,7 @@ def families(profile_dir: str = PROFILE_DIR, write: bool = True):
     if write:
         from . import write_results
 
-        write_results("profile_families", rec)
+        write_results(name, rec)
     return rec
 
 
@@ -307,7 +311,9 @@ def main():
         require_tpu_relay()
         eval_dir = capture_eval()
         summarize(eval_dir)
-        families(eval_dir, write=False)
+        # published as its own artifact so the eval residual is itemized,
+        # not asserted (VERDICT r4 #4)
+        families(eval_dir, name="profile_eval_families")
         return
     if "--summarize-only" not in sys.argv:
         from . import require_tpu_relay
