@@ -143,7 +143,13 @@ class Trainer:
         # -- mesh -------------------------------------------------------
         n_dev = cfg.mesh_shape[0] if cfg.mesh_shape else None
         self.mesh = make_mesh(n_dev)
-        self.multi_device = self.mesh.devices.size > 1
+        # TPU_FORCE_SHARDED=1 routes a 1-device mesh through the full
+        # sharded machinery (explicit shardings, constraint, replication)
+        # so the mesh tax can be measured where hardware exists to measure
+        # it (BASELINE.md "single-chip mesh tax"); shardings are trivial on
+        # one device so numerics are identical by construction
+        self.multi_device = (self.mesh.devices.size > 1
+                             or os.environ.get("TPU_FORCE_SHARDED") == "1")
 
         # -- coordinates + model ---------------------------------------
         self.start_step = 0
