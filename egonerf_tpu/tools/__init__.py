@@ -5,9 +5,17 @@ from __future__ import annotations
 def results_path(name: str) -> str:
     """The repo's ``docs/results_<name>.json`` — ONE definition, shared by
     writers (``write_results``) and readers (e.g. seed_ab's merge-on-write
-    resume, which must read the same file it writes)."""
-    import os
+    resume, which must read the same file it writes).
 
+    ``name`` must be a short identifier: a caller bug once passed a
+    full HLO op string (a shadowed variable in profile_step.families)
+    and littered docs/ with an unparseable filename — fail loudly
+    instead."""
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.-]{1,80}", name):
+        raise ValueError(f"results name must be a short slug, got {name!r}")
     return os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
                                         "docs", f"results_{name}.json"))
 

@@ -195,6 +195,33 @@ def test_trainer_sharded_losses_match_single_device(tmp_path):
     np.testing.assert_allclose(mses1, mses8, rtol=5e-4)
 
 
+def test_forced_sharded_mesh1_matches_plain(tmp_path, monkeypatch):
+    """TPU_FORCE_SHARDED=1 routes a 1-device mesh through the full sharded
+    machinery (the BASELINE.md mesh-tax instrument): shardings are trivial
+    on one device, so the loss sequence must be bit-compatible with the
+    plain path."""
+    import json
+
+    def run(name, forced):
+        if forced:
+            monkeypatch.setenv("TPU_FORCE_SHARDED", "1")
+        else:
+            monkeypatch.delenv("TPU_FORCE_SHARDED", raising=False)
+        cfg = tiny_cfg(tmp_path, expname=name, n_iters=8,
+                       progress_refresh_rate=2, mesh_shape=[1])
+        t = Trainer(cfg)
+        assert t.multi_device == forced
+        t.train()
+        with open(os.path.join(t.logdir, "metrics.jsonl")) as f:
+            return [json.loads(l)["value"] for l in f
+                    if json.loads(l)["tag"] == "train/mse"]
+
+    plain = run("force_off", forced=False)
+    forced = run("force_on", forced=True)
+    assert len(plain) == len(forced) >= 2
+    np.testing.assert_allclose(plain, forced, rtol=1e-6)
+
+
 def test_evaluation_produces_images(trained):
     trainer, tmp = trained
     from egonerf_tpu.render.renderer import evaluation

@@ -399,3 +399,20 @@ def test_normalize_poses_degenerate_capture_raises():
     frames = [{"transform_matrix": m.copy()}, {"transform_matrix": m.copy()}]
     with pytest.raises(ValueError, match="avglen"):
         normalize_poses(frames, is_spherical=True)
+
+
+def test_results_path_rejects_non_slug_names():
+    """Guard against the round-5 incident: an HLO op string reached
+    write_results as the artifact name and produced an unparseable
+    docs/ filename — results_path now fails loudly on anything that
+    is not a short slug."""
+    import pytest
+
+    from egonerf_tpu.tools import results_path
+
+    assert results_path("profile_eval_families").endswith(
+        "results_profile_eval_families.json")
+    for bad in ('%custom-call.50 = f32[2,258,75,16]{1,3}', 'a/b', 'a b',
+                'x' * 81, ''):
+        with pytest.raises(ValueError):
+            results_path(bad)
