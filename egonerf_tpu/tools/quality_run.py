@@ -1,17 +1,21 @@
 """Reproducible quality runs for docs/results.
 
-Two presets:
+Presets:
 
-* ``refscale`` — EgoNeRF at the reference's full production shape
-  (2000x1000 equirect views, N_voxel = 27e6 yin-yang grid, 128+128
-  samples, batch 4096, 10k iters; mirrors
+* ``refscale`` / ``refscale30k`` / ``refscale100k`` — EgoNeRF at the
+  reference's full production shape (2000x1000 equirect views,
+  N_voxel = 27e6 yin-yang grid, 128+128 samples, batch 4096; mirrors
   reference configs/EgoNeRF/common.txt + omniblender/common_indoor.txt)
-  on the built-in procedural scene.
+  on the built-in procedural wall scene at 10k/30k/100k iterations
+  (100k is the reference's exact headline schedule).
+* ``refscale30k_cluttered`` — the same 30k recipe on the cluttered scene
+  variant (24 extra spheres through the volume) so the quality table
+  rests on more than one scene.
 * ``tensorf`` — the TensorVMSplit baseline family end to end (xyz chart,
   linear sampling, the reference's LLFF-style recipe scaled to the
   synthetic scene) so the second model family has a quality record too.
 
-Run on the TPU:  python -m egonerf_tpu.tools.quality_run [refscale|tensorf]
+Run on the TPU:  python -m egonerf_tpu.tools.quality_run [preset]
 Writes docs/results_<preset>.json and eval artifacts under /tmp.
 """
 from __future__ import annotations
@@ -22,12 +26,10 @@ import sys
 import time
 
 
-def _run(preset: str, resume: bool = False) -> dict:
-    import numpy as np
-
-    from ..data.datasets import SyntheticEgoDataset
+def preset_spec(preset: str):
+    """Resolve a preset name to ``(cfg, ds_kwargs)`` without training
+    (kept separate from :func:`_run` so tests can pin the mapping)."""
     from ..train.config import load_config
-    from ..train.trainer import Trainer
 
     from ..presets import production_overrides
 
@@ -38,11 +40,17 @@ def _run(preset: str, resume: bool = False) -> dict:
         # relay dying) resumes with --resume instead of starting over
         i_weights=2000,
     )
-    if preset in ("refscale", "refscale30k", "refscale100k"):
+    if preset in ("refscale", "refscale30k", "refscale100k",
+                  "refscale30k_cluttered"):
         # expname=preset in `common` already gives each length its own
         # artifact dir
         n_iters = {"refscale": 10_000, "refscale30k": 30_000,
-                   "refscale100k": 100_000}[preset]
+                   "refscale100k": 100_000,
+                   # second-scene quality record: the cull-adversarial
+                   # cluttered variant (24 spheres through the volume) at
+                   # the 30k schedule, so the BASELINE quality table rests
+                   # on more than the wall scene
+                   "refscale30k_cluttered": 30_000}[preset]
         if preset == "refscale100k":
             # the reference's FULL schedule (configs/EgoNeRF/common.txt:6
             # n_iters = 100000): exercises the LR decay's last decade,
@@ -65,6 +73,8 @@ def _run(preset: str, resume: bool = False) -> dict:
                       "[10000, 20000, 30000]" if n_iters > 10_000
                       else "[10000]"), **common))
         ds = dict(n_train=12, n_test=2, height=1000, width=2000)
+        if preset.endswith("_cluttered"):
+            ds["background"] = "cluttered"
     elif preset == "tensorf":
         cfg = load_config(overrides=production_overrides(
             model_name="TensorVMSplit", coordinates_name="xyz",
@@ -78,7 +88,18 @@ def _run(preset: str, resume: bool = False) -> dict:
             N_vis=-1, vis_list="[6000]", **common))
         ds = dict(n_train=12, n_test=2, height=500, width=1000)
     else:
-        raise SystemExit(f"unknown preset {preset!r} (refscale|tensorf)")
+        raise SystemExit(f"unknown preset {preset!r} (refscale|refscale30k|"
+                         f"refscale100k|refscale30k_cluttered|tensorf)")
+    return cfg, ds
+
+
+def _run(preset: str, resume: bool = False) -> dict:
+    import numpy as np
+
+    from ..data.datasets import SyntheticEgoDataset
+    from ..train.trainer import Trainer
+
+    cfg, ds = preset_spec(preset)
 
     # fresh-run semantics: the trainer auto-resumes from any checkpoint in
     # the experiment folder (a feature for real runs, wrong for a quality

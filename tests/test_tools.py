@@ -92,6 +92,14 @@ def test_experiment_tools_import_and_configs_build():
     with _pytest.raises(SystemExit):
         quality_run._run("nope")
 
+    # preset -> (cfg, ds) mapping, pinned without training
+    cfg, ds = quality_run.preset_spec("refscale30k_cluttered")
+    assert cfg.n_iters == 30_000 and cfg.expname == "refscale30k_cluttered"
+    assert ds["background"] == "cluttered" and ds["width"] == 2000
+    cfg, ds = quality_run.preset_spec("refscale100k")
+    assert cfg.n_iters == 100_000 and cfg.i_weights == 10_000
+    assert "background" not in ds
+
 
 def test_synthetic_env_background_mode():
     """'env' background: rays missing all spheres get direction-only color
