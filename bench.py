@@ -112,7 +112,7 @@ def main():
     # resumable within ~one fused chunk instead of starving this capture.
     lock_wait = min(float(os.environ.get("TPU_LOCK_WAIT_S", 3600)),
                     max(0.0, _remaining() - TRAIN_NEED_S))
-    if not acquire_tpu_lock(lock_wait):
+    if not acquire_tpu_lock(lock_wait, preempt=True):
         result["warning_lock"] = ("chip lock busy past the deadline-capped "
                                   "wait; another TPU process may be running")
 
@@ -230,7 +230,10 @@ def main():
 
     value = statistics.median(seg_rates)
     step_ms = sorted(1000.0 * t / STEPS_PER_CALL for t in per_call)
-    latency_metrics = {}
+    # schema-stable even when the latency pass was deadline-skipped: every
+    # prior round's capture had these keys, so fixed-schema consumers get
+    # nulls rather than KeyErrors
+    latency_metrics = dict(step_ms_p50=None, step_ms_p95=None, step_ms_max=None)
     if step_ms:
         latency_metrics = dict(
             step_ms_p50=round(step_ms[len(step_ms) // 2], 1),

@@ -77,11 +77,12 @@ def yield_path() -> str:
 
     Round-4 postmortem (VERDICT r4 #1): a 4-hour quality run held the chip
     flock through the driver's bench window and the official capture timed
-    out empty.  The fix is cooperative: lock *waiters* touch this file
-    (:func:`request_tpu_yield`, called from the :func:`acquire_tpu_lock`
-    poll loop) and long-running lock *holders* poll it at chunk boundaries
-    (:func:`tpu_yield_requested`; Trainer.train checkpoints and exits
-    resumable) — so no long job can starve a capture again."""
+    out empty.  The fix is cooperative: *preempting* lock waiters (the
+    bench capture — ``acquire_tpu_lock(preempt=True)``) touch this file
+    (:func:`request_tpu_yield`) and long-running lock *holders* poll it at
+    chunk boundaries (:func:`tpu_yield_requested`; Trainer.train
+    checkpoints and exits resumable) — so no long job can starve a capture
+    again, while ordinary experiment drivers still queue politely."""
     import os
 
     return os.environ.get("TPU_YIELD_PATH", "/tmp/egonerf_tpu.yield")
@@ -131,7 +132,7 @@ def holds_tpu_lock() -> bool:
     return _TPU_LOCK_FD is not None
 
 
-def acquire_tpu_lock(wait_s: float | None = None) -> bool:
+def acquire_tpu_lock(wait_s: float | None = None, preempt: bool = False) -> bool:
     """Serialize chip users via an exclusive flock on ``/tmp/egonerf_tpu.lock``.
 
     Only ONE process can use the TPU productively (the chip sits behind a
@@ -144,6 +145,15 @@ def acquire_tpu_lock(wait_s: float | None = None) -> bool:
     unattended driver.  No-op (True) on non-axon platforms.  The lock path
     is overridable via ``$TPU_LOCK_PATH`` so tests never touch (or trip
     over) the real chip lock a live experiment queue may hold.
+
+    ``preempt=True`` additionally requests a cooperative *yield* from the
+    current holder on every failed attempt (:func:`request_tpu_yield`) —
+    reserved for the official bench capture, which must never be starved
+    by an hours-class run (VERDICT r4 #1b).  Experiment drivers entering
+    through :func:`require_tpu_relay` queue politely instead: letting any
+    short tool preempt a 4-hour quality run would trade one starvation
+    problem for another (and two auto-restarting yieldable drivers would
+    mutually preempt, each paying the multi-minute recompile per chunk).
     """
     global _TPU_LOCK_FD
     import fcntl
@@ -168,10 +178,12 @@ def acquire_tpu_lock(wait_s: float | None = None) -> bool:
             clear_tpu_yield()
             return True
         except OSError:
-            # ask the holder to checkpoint + exit resumable (VERDICT r4 #1b)
-            # — on every failed attempt, so even a deadline-capped waiter
-            # leaves the request behind for the holder's next chunk check
-            request_tpu_yield()
+            if preempt:
+                # ask the holder to checkpoint + exit resumable (VERDICT r4
+                # #1b) — on every failed attempt, so even a deadline-capped
+                # waiter leaves the request behind for the holder's next
+                # chunk check
+                request_tpu_yield()
             if time.monotonic() >= deadline:
                 os.close(fd)
                 return False

@@ -35,10 +35,10 @@ def _run(logdir: str, budgets, n_train: int = 12, n_test: int = 2,
     import jax.numpy as jnp
 
     from ..data.datasets import SyntheticEgoDataset
-    from ..train.checkpoint import load_checkpoint
+    from ..train.checkpoint import load_checkpoint, unflatten_params
     from ..train.config import load_config
-    from ..train.trainer import (Trainer, build_model, coords_from_spec,
-                                 latest_checkpoint, restore_params)
+    from ..train.trainer import (build_model, coords_from_spec,
+                                 latest_checkpoint)
 
     cfg = load_config(os.path.join(logdir, "args.txt"))
     ckpt_path = cfg.ckpt or latest_checkpoint(logdir)
@@ -47,12 +47,13 @@ def _run(logdir: str, budgets, n_train: int = 12, n_test: int = 2,
     test_ds = SyntheticEgoDataset(split="test", is_stack=True, n_train=n_train,
                                   n_test=n_test, height=height, width=width,
                                   near_far=cfg.near_far)
-    _, header, _ = load_checkpoint(ckpt_path)
+    # one full read of the multi-hundred-MB npz: header for the model
+    # rebuild, then unflatten_params over the same flat dict
+    flat, header, _ = load_checkpoint(ckpt_path)
     coords = coords_from_spec(header["coords_spec"])
     model = build_model(cfg, test_ds.scene_bbox, coords.resolution, coords,
                         test_ds.near_far, meta=header.get("model_meta"))
-    params, header, masks = restore_params(
-        model.init_params(jax.random.PRNGKey(0)), ckpt_path)
+    params = unflatten_params(model.init_params(jax.random.PRNGKey(0)), flat)
 
     # bake the occupancy volume the way update_alpha_mask does (the mask
     # the exact skip would gate on), at the trainer's capped resolution
@@ -92,12 +93,11 @@ def _run(logdir: str, budgets, n_train: int = 12, n_test: int = 2,
         norm = model.coordinates.normalize_coord(
             model.coordinates.from_cartesian(xyz))
         occ = mask.sample_alpha(norm) > 0.0
-        return jnp.sum(occ.astype(jnp.int32), axis=-1), occ.mean()
+        return jnp.sum(occ.astype(jnp.int32), axis=-1)
 
     k_fn = jax.jit(k_per_ray)
 
-    h, w = test_ds.img_wh[1], test_ds.img_wh[0]
-    all_k, occ_fracs = [], []
+    all_k = []
     for img in range(min(n_test, 2)):
         pose = np.asarray(test_ds.poses[img])
         dirs = np.asarray(test_ds.directions).reshape(-1, 3)
@@ -105,10 +105,17 @@ def _run(logdir: str, budgets, n_train: int = 12, n_test: int = 2,
         ro = np.broadcast_to(pose[:3, 3], rd.shape)
         rays = np.concatenate([ro, rd], -1).astype(np.float32)
         n = rays.shape[0]
-        for c0 in range(0, n - n % chunk, chunk):
-            k, frac = k_fn(params, jnp.asarray(rays[c0:c0 + chunk]))
-            all_k.append(np.asarray(k))
-            occ_fracs.append(float(frac))
+        for c0 in range(0, n, chunk):
+            sl = rays[c0:c0 + chunk]
+            valid = sl.shape[0]
+            if valid < chunk:
+                # pad the ray tail to the compiled chunk shape with copies
+                # of the slice's own rays (statistics use only [:valid]) —
+                # no ray is silently dropped, no extra compile shape
+                reps = -(-chunk // valid)
+                sl = np.concatenate([sl] * reps)[:chunk]
+            k = np.asarray(k_fn(params, jnp.asarray(sl)))[:valid]
+            all_k.append(k)
     ks = np.concatenate(all_k)
     chunk_max = np.asarray([k.max() for k in all_k])
     s = n_coarse + n_fine
@@ -118,7 +125,7 @@ def _run(logdir: str, budgets, n_train: int = 12, n_test: int = 2,
         "mask_reso": reso_mask, "alpha_mask_thre": float(cfg.alpha_mask_thre),
         "n_samples_merged": s, "n_rays": int(ks.size),
         "n_chunks": int(chunk_max.size), "chunk": chunk,
-        "occupied_sample_frac": round(float(np.mean(occ_fracs)), 4),
+        "occupied_sample_frac": round(float(ks.sum()) / (ks.size * s), 4),
         "k_percentiles": {str(q): int(np.percentile(ks, q)) for q in qs},
         "chunk_max_percentiles": {str(q): int(np.percentile(chunk_max, q))
                                   for q in qs},

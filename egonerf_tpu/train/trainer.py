@@ -722,6 +722,12 @@ class Trainer:
             # resumable instead of holding the chip for hours.  The check
             # costs one getmtime per fused chunk (~6 s at production shape).
             if self._yield_check():
+                if cfg.profile_dir and profile_state == 1:
+                    # close an active trace window before exiting so the
+                    # profile capture (minutes of TPU time) isn't abandoned
+                    # mid-trace, and the checkpoint write stays outside it
+                    profile_state = 2
+                    self._stop_profile_trace(iteration - profile_start_it)
                 self.save(os.path.join(
                     self.logdir, f"{cfg.expname}_{iteration:06d}.npz"), iteration)
                 self.log.flush()

@@ -346,3 +346,20 @@ def test_tensorf_variants_train_e2e(tmp_path, model_name):
     assert len(mses) >= 8
     assert np.isfinite(mses).all()
     assert mses[-1] < mses[0], f"{model_name}: {mses[0]} -> {mses[-1]}"
+
+
+def test_occ_probe_covers_all_rays(trained):
+    """The occupancy probe (tools/occ_probe.py) must include every ray in
+    its statistics: the chunk loop pads the per-image tail to the compiled
+    shape instead of dropping it, and an image smaller than one chunk
+    (the former crash case) still probes cleanly."""
+    trainer, tmp = trained
+    from egonerf_tpu.tools import occ_probe
+
+    rec = occ_probe._run(trainer.logdir, [8, 16], n_train=2, n_test=1,
+                         height=20, width=40, chunk=512)
+    assert rec["n_rays"] == 800 and rec["n_chunks"] == 2  # 512 + 288 tail
+    assert 0.0 <= rec["occupied_sample_frac"] <= 1.0
+    rec2 = occ_probe._run(trainer.logdir, [8], n_train=2, n_test=1,
+                          height=10, width=20, chunk=4096)
+    assert rec2["n_rays"] == 200 and rec2["n_chunks"] == 1

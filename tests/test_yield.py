@@ -2,10 +2,12 @@
 
 Round-4 postmortem: a 4-hour quality run held the chip flock through the
 driver's bench window and the official capture timed out empty.  The fix:
-lock *waiters* touch a yield file (tools.request_tpu_yield, from the
-acquire_tpu_lock poll loop) and long-running *holders* poll it at fused-
-chunk boundaries (Trainer.train), checkpoint, and exit resumable.  These
-tests pin each link of that chain on CPU.
+*preempting* lock waiters (the bench capture, acquire_tpu_lock(preempt=
+True)) touch a yield file (tools.request_tpu_yield) and long-running
+*holders* poll it at fused-chunk boundaries (Trainer.train), checkpoint,
+and exit resumable; ordinary experiment drivers queue politely (a short
+tool must not evict a 4-hour run).  These tests pin each link of that
+chain on CPU; docs/results_yield_live.json is the hardware validation.
 """
 import fcntl
 import os
@@ -52,9 +54,10 @@ def test_yield_request_freshness(tmp_path, monkeypatch):
 
 
 def test_lock_waiter_requests_yield(tmp_path, monkeypatch):
-    """A blocked acquire_tpu_lock must leave a yield request behind even
-    when its deadline-capped wait expires (the holder honors it at its
-    next chunk boundary)."""
+    """A blocked PREEMPTING acquire_tpu_lock (the bench capture) must leave
+    a yield request behind even when its deadline-capped wait expires (the
+    holder honors it at its next chunk boundary); an ordinary waiter must
+    queue politely without requesting a yield."""
     lpath = str(tmp_path / "lock")
     ypath = str(tmp_path / "yield")
     monkeypatch.setenv("TPU_LOCK_PATH", lpath)
@@ -67,8 +70,12 @@ def test_lock_waiter_requests_yield(tmp_path, monkeypatch):
     holder = os.open(lpath, os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # a polite waiter (experiment driver) never evicts the holder
         assert tools.acquire_tpu_lock(wait_s=0.2) is False
-        assert os.path.exists(ypath), "waiter must touch the yield file"
+        assert not os.path.exists(ypath), "polite waiter must not preempt"
+        # the bench capture preempts
+        assert tools.acquire_tpu_lock(wait_s=0.2, preempt=True) is False
+        assert os.path.exists(ypath), "preempting waiter must touch the yield file"
         assert tools.tpu_yield_requested()
         assert tools._TPU_LOCK_FD is None
     finally:
