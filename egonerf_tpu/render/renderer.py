@@ -206,6 +206,10 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
 
     w, h = test_dataset.img_wh
     n_images = test_dataset.all_rays.shape[0]
+    if n_vis == 0:
+        # the "skip vis" sentinel (the Trainer guards its call site, but
+        # evaluation() is a public entry used by the tools too)
+        return []
     interval = 1 if n_vis < 0 else max(n_images // n_vis, 1)
     idxs = list(range(0, n_images, interval))
 
@@ -304,8 +308,11 @@ def evaluation(test_dataset, model, params, renderer: Renderer, save_path=None,
         # with double-buffering the per-image time covers only the fetch +
         # non-overlapped remainder (dispatch happened last iteration) —
         # label it so it is never compared against pre-pipelining logs;
-        # the amortized total below is the honest per-image cost
-        print(f"eval image {out_idx}: {elapsed:.2f}s (pipelined fetch+host)"
+        # the amortized total below is the honest per-image cost.  The
+        # host-raygen fallback renders synchronously, so its time is the
+        # full render and is labeled accordingly
+        label = "pipelined fetch+host" if device_raygen else "full render"
+        print(f"eval image {out_idx}: {elapsed:.2f}s ({label})"
               + (f", psnr {psnrs[-1]:.2f}" if psnrs else ""))
     if len(idxs) > 1:
         wall = time.time() - t_wall0

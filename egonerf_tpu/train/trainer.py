@@ -194,57 +194,8 @@ class Trainer:
         if self.start_step:
             self.opt_state = fast_forward_schedule(self.opt_state, self.start_step)
 
-        # -- sampler ----------------------------------------------------
-        n_rays_total = self.train_dataset.all_rays.shape[0]
-        if cfg.sampling_method == "simple":
-            self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
-        elif cfg.sampling_method == "theta_importance":
-            # img_wh_origin = full pre-crop dims where the dataset crops by
-            # roi (Ricoh/OmniScenes); everywhere else img_wh IS the full
-            # size.  The sampler derives the cropped raster + image count
-            # itself (see its docstring for the reference's latent bug here)
-            full_wh = getattr(self.train_dataset, "img_wh_origin",
-                              self.train_dataset.img_wh)
-            self.sampler = ThetaImportanceSampler(
-                cfg.theta_importance_lambda, n_rays_total, full_wh,
-                cfg.batch_size, self.train_dataset.roi, seed=cfg.seed)
-        else:
-            raise ValueError(f"sampling method {cfg.sampling_method} not supported")
-
-        # optional host-side ray pruning (reference: models/tensorBase.py:381-413)
-        if cfg.filter_ray and hasattr(self.model, "filtering_rays"):
-            kept = self.model.filtering_rays(
-                self.params, self.train_dataset.all_rays,
-                self.train_dataset.all_rgbs, bbox_only=True)
-            self.train_dataset.all_rays, self.train_dataset.all_rgbs = kept[:2]
-            n_rays_total = self.train_dataset.all_rays.shape[0]
-            if cfg.sampling_method == "simple":
-                self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
-
-        # -- device-resident training data ------------------------------
-        # host->device transfer is expensive (and brutal through a device
-        # tunnel), so the flat ray/rgb/depth buffers live on-device and each
-        # chunk ships only (n_steps, batch) int32 ids; batches gather inside
-        # the compiled step.  Falls back to host gathers for huge datasets.
-        n_rays_buf = self.train_dataset.all_rays.shape[0]
-        # rows padded to 32 f32 (128 B): TPU gathers of sub-128-byte rows
-        # take a ~20x slower path (see ops/vm_lookup.py's cost model)
-        buf_bytes = n_rays_buf * 32 * 4
-        # theta_importance keeps the zero-host-bytes path too (in-step
-        # inverse-CDF row draw) — unless filter_ray compacted the buffer,
-        # which breaks its flat (img, row, col) index layout
-        self.device_data = (buf_bytes < 6 * 2**30 and cfg.device_sampling
-                            and (cfg.sampling_method == "simple"
-                                 or (cfg.sampling_method == "theta_importance"
-                                     and not cfg.filter_ray)))
-        if self.device_data:
-            cols = [self.train_dataset.all_rays, self.train_dataset.all_rgbs]
-            if cfg.use_depth and self.train_dataset.all_depths is not None:
-                cols.append(self.train_dataset.all_depths.reshape(-1, 1))
-            packed = np.concatenate(cols, axis=1).astype(np.float32)
-            packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
-            self._train_buf = (put_replicated(self.mesh, packed)
-                               if self.multi_device else jax.device_put(packed))
+        # -- sampler + device-resident training data ---------------------
+        self._install_train_data()
 
         # voxel upsample schedule: log-linear (reference: train.py:189)
         ups = cfg.upsamp_list or []
@@ -362,7 +313,12 @@ class Trainer:
                         total = total + cfg.sparsity_lambda * loss_sp
                     if cfg.Ortho_weight > 0:
                         total = total + cfg.Ortho_weight * model.vector_comp_diffs(p)
-                    total = total + dyn["l1_w"] * model.density_l1(p)
+                    if l1_w > 0:
+                        # l1_w is a static per-phase float (the step fn is
+                        # rebuilt at the alpha-mask boundary), so zero-L1
+                        # configs skip the full abs+mean sweep over every
+                        # density plane/line and its VJP entirely
+                        total = total + dyn["l1_w"] * model.density_l1(p)
                     if tv_on and cfg.TV_weight_density > 0:
                         total = total + dyn["tv_density_w"] * model.tv_loss_density(p)
                     if tv_on and cfg.TV_weight_app > 0:
@@ -531,31 +487,78 @@ class Trainer:
             return put_batch_sharded(self.mesh, batch, P(None, DATA_AXIS, None))
         return jnp.asarray(batch)
 
+    def _install_train_data(self) -> None:
+        """(Re)build the sampler + device-resident buffer for the CURRENT
+        ``self.train_dataset`` — ONE definition shared by ``__init__`` and
+        :meth:`set_datasets`, so the device-vs-host data decision (sized
+        against the buffer actually being installed) can never go stale."""
+        cfg = self.cfg
+        n_rays_total = self.train_dataset.all_rays.shape[0]
+        if cfg.sampling_method == "simple":
+            self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
+        elif cfg.sampling_method == "theta_importance":
+            # img_wh_origin = full pre-crop dims where the dataset crops by
+            # roi (Ricoh/OmniScenes); everywhere else img_wh IS the full
+            # size.  The sampler derives the cropped raster + image count
+            # itself (see its docstring for the reference's latent bug here)
+            full_wh = getattr(self.train_dataset, "img_wh_origin",
+                              self.train_dataset.img_wh)
+            self.sampler = ThetaImportanceSampler(
+                cfg.theta_importance_lambda, n_rays_total, full_wh,
+                cfg.batch_size, self.train_dataset.roi, seed=cfg.seed)
+        else:
+            raise ValueError(f"sampling method {cfg.sampling_method} not supported")
+
+        # optional host-side ray pruning (reference: models/tensorBase.py:381-413)
+        if cfg.filter_ray and hasattr(self.model, "filtering_rays"):
+            kept = self.model.filtering_rays(
+                self.params, self.train_dataset.all_rays,
+                self.train_dataset.all_rgbs, bbox_only=True)
+            self.train_dataset.all_rays, self.train_dataset.all_rgbs = kept[:2]
+            n_rays_total = self.train_dataset.all_rays.shape[0]
+            if cfg.sampling_method == "simple":
+                self.sampler = SimpleSampler(n_rays_total, cfg.batch_size, seed=cfg.seed)
+
+        # device-resident training data: host->device transfer is expensive
+        # (and brutal through a device tunnel), so the flat ray/rgb/depth
+        # buffers live on-device and each chunk ships only (n_steps, batch)
+        # int32 ids; batches gather inside the compiled step.  Falls back to
+        # host gathers for huge datasets.
+        n_rays_buf = self.train_dataset.all_rays.shape[0]
+        # rows padded to 32 f32 (128 B): TPU gathers of sub-128-byte rows
+        # take a ~20x slower path (see ops/vm_lookup.py's cost model)
+        buf_bytes = n_rays_buf * 32 * 4
+        # theta_importance keeps the zero-host-bytes path too (in-step
+        # inverse-CDF row draw) — unless filter_ray compacted the buffer,
+        # which breaks its flat (img, row, col) index layout
+        self.device_data = (buf_bytes < 6 * 2**30 and cfg.device_sampling
+                            and (cfg.sampling_method == "simple"
+                                 or (cfg.sampling_method == "theta_importance"
+                                     and not cfg.filter_ray)))
+        self._train_buf = None  # a huge swapped-in dataset frees the old buffer
+        if self.device_data:
+            cols = [self.train_dataset.all_rays, self.train_dataset.all_rgbs]
+            if cfg.use_depth and self.train_dataset.all_depths is not None:
+                cols.append(self.train_dataset.all_depths.reshape(-1, 1))
+            packed = np.concatenate(cols, axis=1).astype(np.float32)
+            packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
+            self._train_buf = (put_replicated(self.mesh, packed)
+                               if self.multi_device else jax.device_put(packed))
+
     def set_datasets(self, train_dataset, test_dataset) -> None:
         """Swap datasets after construction (e.g. programmatic experiments):
-        rebuilds the sampler, device-resident buffers and compiled steps."""
+        rebuilds the sampler, device-resident buffers and compiled steps
+        through the same install path as ``__init__`` (including filter_ray
+        and the device-vs-host buffer decision).  Scene geometry taken at
+        construction (aabb / near_far / white_bg and the model built from
+        them) intentionally stays — swap datasets of the same scene setup."""
         cfg = self.cfg
         if cfg.use_depth and train_dataset.all_depths is None:
             raise ValueError(f"use_depth=True but dataset "
                              f"'{cfg.dataset_name}' provides no depths")
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
-        n_total = train_dataset.all_rays.shape[0]
-        if cfg.sampling_method == "simple":
-            self.sampler = SimpleSampler(n_total, cfg.batch_size, seed=cfg.seed)
-        elif cfg.sampling_method == "theta_importance":
-            full_wh = getattr(train_dataset, "img_wh_origin", train_dataset.img_wh)
-            self.sampler = ThetaImportanceSampler(
-                cfg.theta_importance_lambda, n_total, full_wh,
-                cfg.batch_size, train_dataset.roi, seed=cfg.seed)
-        if self.device_data:
-            cols = [train_dataset.all_rays, train_dataset.all_rgbs]
-            if cfg.use_depth and train_dataset.all_depths is not None:
-                cols.append(train_dataset.all_depths.reshape(-1, 1))
-            packed = np.concatenate(cols, axis=1).astype(np.float32)
-            packed = np.pad(packed, ((0, 0), (0, 32 - packed.shape[1])))
-            self._train_buf = (put_replicated(self.mesh, packed)
-                               if self.multi_device else jax.device_put(packed))
+        self._install_train_data()
         self._step_cache = {}
         self.renderer._jitted = {}
 
@@ -577,6 +580,12 @@ class Trainer:
         if os.environ.get("TPU_YIELDABLE", "") != "1":
             return False
         if os.environ.get("JAX_PLATFORMS", "") != "axon":
+            return False
+        if jax.process_count() > 1:
+            # the flock is per-host: in a multi-process pod only one
+            # process could ever see the request, and its solo exit would
+            # wedge the peers in the next collective — pod runs need a
+            # collectively-agreed stop, so they simply don't yield
             return False
         from ..tools import holds_tpu_lock, tpu_yield_requested
 
@@ -687,6 +696,35 @@ class Trainer:
 
             iteration = iters[-1]  # events below key off the chunk's last step
 
+            # Cooperative chip yield (VERDICT r4 #1b): when this process
+            # holds the TPU flock and a preempting waiter (the driver's
+            # bench capture) has touched the yield file, checkpoint and
+            # exit resumable instead of holding the chip for hours.  The
+            # check costs one getmtime per fused chunk (~6 s at production
+            # shape) and runs BEFORE this iteration's vis/save/alpha/
+            # upsample events so the checkpoint has the same pre-event
+            # state as a periodic i_weights save — on --resume the
+            # constructor's schedule realignment re-fires those events
+            # exactly once, and a pending request skips a long vis eval
+            # rather than running it first.
+            if self._yield_check():
+                if cfg.profile_dir and profile_state == 1:
+                    # close an active trace window before exiting so the
+                    # profile capture (minutes of TPU time) isn't abandoned
+                    # mid-trace, and the checkpoint write stays outside it.
+                    # `iteration` is the last traced step INDEX here (the
+                    # +1 to the next step happens at the loop bottom), so
+                    # the traced count is inclusive
+                    profile_state = 2
+                    self._stop_profile_trace(iteration - profile_start_it + 1)
+                self.save(os.path.join(
+                    self.logdir, f"{cfg.expname}_{iteration:06d}.npz"), iteration)
+                self.log.flush()
+                print(f"TPU yield requested — checkpointed at iter {iteration}; "
+                      f"resume with --resume (same semantics as a periodic "
+                      f"checkpoint restart)", flush=True)
+                raise SystemExit(3)
+
             if (iteration + 1) in vis_list and cfg.N_vis != 0:
                 psnrs_test = evaluation(
                     self.test_dataset, self.model, self.params, self.renderer,
@@ -715,26 +753,6 @@ class Trainer:
 
             if iteration in self.upsamp_list:
                 self._upsample(iteration)
-
-            # Cooperative chip yield (VERDICT r4 #1b): when this process
-            # holds the TPU flock and a waiter (e.g. the driver's bench
-            # capture) has touched the yield file, checkpoint and exit
-            # resumable instead of holding the chip for hours.  The check
-            # costs one getmtime per fused chunk (~6 s at production shape).
-            if self._yield_check():
-                if cfg.profile_dir and profile_state == 1:
-                    # close an active trace window before exiting so the
-                    # profile capture (minutes of TPU time) isn't abandoned
-                    # mid-trace, and the checkpoint write stays outside it
-                    profile_state = 2
-                    self._stop_profile_trace(iteration - profile_start_it)
-                self.save(os.path.join(
-                    self.logdir, f"{cfg.expname}_{iteration:06d}.npz"), iteration)
-                self.log.flush()
-                print(f"TPU yield requested — checkpointed at iter {iteration}; "
-                      f"resume with --resume (same semantics as a periodic "
-                      f"checkpoint restart)", flush=True)
-                raise SystemExit(3)
 
             iteration += 1
 
