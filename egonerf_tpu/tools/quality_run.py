@@ -41,7 +41,7 @@ def preset_spec(preset: str):
         i_weights=2000,
     )
     if preset in ("refscale", "refscale30k", "refscale100k",
-                  "refscale30k_cluttered"):
+                  "refscale30k_cluttered", "refscale10k_env"):
         # expname=preset in `common` already gives each length its own
         # artifact dir
         n_iters = {"refscale": 10_000, "refscale30k": 30_000,
@@ -50,7 +50,10 @@ def preset_spec(preset: str):
                    # cluttered variant (24 spheres through the volume) at
                    # the 30k schedule, so the BASELINE quality table rests
                    # on more than the wall scene
-                   "refscale30k_cluttered": 30_000}[preset]
+                   "refscale30k_cluttered": 30_000,
+                   # envmap family at production shape: the outdoor-scene
+                   # recipe on the 'env' background (texture at infinity)
+                   "refscale10k_env": 10_000}[preset]
         if preset == "refscale100k":
             # the reference's FULL schedule (configs/EgoNeRF/common.txt:6
             # n_iters = 100000): exercises the LR decay's last decade,
@@ -58,7 +61,7 @@ def preset_spec(preset: str):
             # stability in one continuous run.  Coarser checkpoints (the
             # 2k cadence writes 50 x ~450 MB over 4 h for no extra safety)
             common["i_weights"] = 10_000
-        cfg = load_config(overrides=production_overrides(
+        ov = dict(
             n_iters=n_iters,
             # near_far matched to the synthetic wall at radius 8 (measured
             # +0.07 dB vs sampling out to 15 — minor, but the matched range
@@ -71,10 +74,24 @@ def preset_spec(preset: str):
             vis_list=("[20000, 40000, 60000, 80000, 100000]"
                       if n_iters > 30_000 else
                       "[10000, 20000, 30000]" if n_iters > 10_000
-                      else "[10000]"), **common))
+                      else "[10000]"), **common)
+        if preset == "refscale10k_env":
+            # the reference's outdoor/ricoh envmap recipe at production
+            # shape (reference: configs/EgoNeRF/omniblender/lone_monk/
+            # common.txt:6-11 use_envmap + iter_pretrain_envmap=10000 of
+            # 100k, scaled to 10% of this schedule; envmap_res_H = 2x the
+            # image height like ricoh's 1920 for 960-high captures —
+            # configs/EgoNeRF/ricoh/common.txt:5-16).  The background sits
+            # at infinity, so near_far opens back to the production
+            # default and the envmap absorbs everything beyond the volume.
+            ov.update(near_far="[0.01, 15.0]", use_envmap=True,
+                      envmap_res_H=2000, iter_pretrain_envmap=1000)
+        cfg = load_config(overrides=production_overrides(**ov))
         ds = dict(n_train=12, n_test=2, height=1000, width=2000)
         if preset.endswith("_cluttered"):
             ds["background"] = "cluttered"
+        elif preset.endswith("_env"):
+            ds["background"] = "env"
     elif preset == "tensorf":
         cfg = load_config(overrides=production_overrides(
             model_name="TensorVMSplit", coordinates_name="xyz",
@@ -89,7 +106,8 @@ def preset_spec(preset: str):
         ds = dict(n_train=12, n_test=2, height=500, width=1000)
     else:
         raise SystemExit(f"unknown preset {preset!r} (refscale|refscale30k|"
-                         f"refscale100k|refscale30k_cluttered|tensorf)")
+                         f"refscale100k|refscale30k_cluttered|"
+                         f"refscale10k_env|tensorf)")
     return cfg, ds
 
 
