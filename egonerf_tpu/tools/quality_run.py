@@ -76,16 +76,25 @@ def preset_spec(preset: str):
                       "[10000, 20000, 30000]" if n_iters > 10_000
                       else "[10000]"), **common)
         if preset == "refscale10k_env":
-            # the reference's outdoor/ricoh envmap recipe at production
-            # shape (reference: configs/EgoNeRF/omniblender/lone_monk/
-            # common.txt:6-11 use_envmap + iter_pretrain_envmap=10000 of
-            # 100k, scaled to 10% of this schedule; envmap_res_H = 2x the
-            # image height like ricoh's 1920 for 960-high captures —
-            # configs/EgoNeRF/ricoh/common.txt:5-16).  The background sits
-            # at infinity, so near_far opens back to the production
-            # default and the envmap absorbs everything beyond the volume.
+            # the reference's outdoor envmap recipe at production shape
+            # (reference: configs/EgoNeRF/omniblender/lone_monk/
+            # common.txt:6-11 — use_envmap + a pretrain phase).  The
+            # background sits at infinity, so near_far opens back to the
+            # production default and the envmap absorbs everything beyond
+            # the volume.  Two knobs deliberately do NOT follow naive
+            # schedule compression (measured failure, BASELINE.md "envmap
+            # at production shape"): the envmap must actually CONVERGE in
+            # pretrain or the 27e6-voxel volume absorbs the background as
+            # an opaque far shell, transmittance closes, and the envmap
+            # freezes at init (a res-2000 map at 1000 pretrain iters got
+            # 0.5 ray samples/texel and the composite lost ~8 dB held-out).
+            # So: resolution follows the background's bandwidth (the
+            # procedural texture is a few-cycle sinusoid — 500 resolves
+            # it), and pretrain length follows texel coverage (~12
+            # samples/texel, the same order as lone_monk's 20), not the
+            # reference's 10%-of-schedule.
             ov.update(near_far="[0.01, 15.0]", use_envmap=True,
-                      envmap_res_H=2000, iter_pretrain_envmap=1000)
+                      envmap_res_H=500, iter_pretrain_envmap=1500)
         cfg = load_config(overrides=production_overrides(**ov))
         ds = dict(n_train=12, n_test=2, height=1000, width=2000)
         if preset.endswith("_cluttered"):

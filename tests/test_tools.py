@@ -101,7 +101,7 @@ def test_experiment_tools_import_and_configs_build():
     assert "background" not in ds
     cfg, ds = quality_run.preset_spec("refscale10k_env")
     assert cfg.n_iters == 10_000 and cfg.use_envmap
-    assert cfg.iter_pretrain_envmap == 1000 and cfg.envmap_res_H == 2000
+    assert cfg.iter_pretrain_envmap == 1500 and cfg.envmap_res_H == 500
     assert cfg.near_far == [0.01, 15.0]
     assert ds["background"] == "env" and ds["width"] == 2000
 
