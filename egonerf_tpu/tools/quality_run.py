@@ -41,7 +41,8 @@ def preset_spec(preset: str):
         i_weights=2000,
     )
     if preset in ("refscale", "refscale30k", "refscale100k",
-                  "refscale30k_cluttered", "refscale10k_env"):
+                  "refscale30k_cluttered", "refscale10k_env",
+                  "refscale30k_env"):
         # expname=preset in `common` already gives each length its own
         # artifact dir
         n_iters = {"refscale": 10_000, "refscale30k": 30_000,
@@ -53,7 +54,8 @@ def preset_spec(preset: str):
                    "refscale30k_cluttered": 30_000,
                    # envmap family at production shape: the outdoor-scene
                    # recipe on the 'env' background (texture at infinity)
-                   "refscale10k_env": 10_000}[preset]
+                   "refscale10k_env": 10_000,
+                   "refscale30k_env": 30_000}[preset]
         if preset == "refscale100k":
             # the reference's FULL schedule (configs/EgoNeRF/common.txt:6
             # n_iters = 100000): exercises the LR decay's last decade,
@@ -75,7 +77,7 @@ def preset_spec(preset: str):
                       if n_iters > 30_000 else
                       "[10000, 20000, 30000]" if n_iters > 10_000
                       else "[10000]"), **common)
-        if preset == "refscale10k_env":
+        if preset.endswith("_env"):
             # the reference's outdoor envmap recipe at production shape
             # (reference: configs/EgoNeRF/omniblender/lone_monk/
             # common.txt:6-11 — use_envmap + a pretrain phase).  The
@@ -116,7 +118,7 @@ def preset_spec(preset: str):
     else:
         raise SystemExit(f"unknown preset {preset!r} (refscale|refscale30k|"
                          f"refscale100k|refscale30k_cluttered|"
-                         f"refscale10k_env|tensorf)")
+                         f"refscale10k_env|refscale30k_env|tensorf)")
     return cfg, ds
 
 

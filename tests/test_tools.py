@@ -104,6 +104,11 @@ def test_experiment_tools_import_and_configs_build():
     assert cfg.iter_pretrain_envmap == 1500 and cfg.envmap_res_H == 500
     assert cfg.near_far == [0.01, 15.0]
     assert ds["background"] == "env" and ds["width"] == 2000
+    cfg, ds = quality_run.preset_spec("refscale30k_env")
+    assert cfg.n_iters == 30_000 and cfg.use_envmap
+    assert cfg.iter_pretrain_envmap == 1500 and cfg.envmap_res_H == 500
+    assert ds["background"] == "env"
+    assert cfg.vis_list == [10_000, 20_000, 30_000]
 
 
 def test_synthetic_env_background_mode():
