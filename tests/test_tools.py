@@ -434,3 +434,39 @@ def test_results_path_rejects_non_slug_names():
                 'x' * 81, ''):
         with pytest.raises(ValueError):
             results_path(bad)
+
+
+def test_envmap_probe_functions():
+    """Factorization probe (tools/envmap_probe.py): an emission whose
+    sigmoid reproduces the GT infinity texture on its own lattice scores
+    high, a constant-gray map scores low, and the bg/fg split follows the
+    GT depth-0 sentinel mask exactly."""
+    import numpy as np
+
+    from egonerf_tpu.data.synthetic import _wall_color
+    from egonerf_tpu.tools.envmap_probe import bg_fg_split, envmap_vs_gt_psnr
+
+    h = 64
+    # invert direction_to_canonical on the (2h, h) storage lattice
+    # (models/envmap.py: rows index v=phi, columns index u=cos-theta)
+    vi = np.linspace(0.0, 1.0, 2 * h)[:, None]
+    ui = np.linspace(0.0, 1.0, h)[None, :]
+    cos_t = 2.0 * ui - 1.0
+    sin_t = np.sqrt(np.maximum(0.0, 1.0 - cos_t ** 2))
+    phi = 2.0 * np.pi * vi - np.pi
+    dirs = np.stack([sin_t * np.cos(phi), sin_t * np.sin(phi),
+                     np.broadcast_to(cos_t, (2 * h, h))], axis=-1)
+    tex = np.clip(_wall_color(dirs), 1e-4, 1.0 - 1e-4)
+    good = np.log(tex / (1.0 - tex)).astype(np.float32)  # sigmoid^-1
+    assert envmap_vs_gt_psnr(good, h=32, w=64) > 20.0
+    flat = np.zeros((2 * h, h, 3), np.float32)  # sigmoid -> 0.5 gray
+    assert envmap_vs_gt_psnr(flat, h=32, w=64) < 15.0
+
+    render = np.zeros((4, 4, 3))
+    gt = np.zeros((4, 4, 3))
+    gt[0, 0] = 1.0  # one wrong pixel, inside the background row
+    bg = np.zeros((4, 4), bool)
+    bg[0, :] = True
+    rec = bg_fg_split(render, gt, bg)
+    assert rec["bg_pixel_fraction"] == 0.25
+    assert rec["psnr_fg"] > 100.0 and rec["psnr_bg"] < 10.0
