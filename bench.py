@@ -118,6 +118,8 @@ def main():
 
     import jax
 
+    from egonerf_tpu.tools import enable_compilation_cache
+    enable_compilation_cache()  # repo-local persistent cache: warm compiles
     dev = jax.devices()[0]
     result["platform"] = dev.platform
     result["device"] = getattr(dev, "device_kind", str(dev))

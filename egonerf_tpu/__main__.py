@@ -12,7 +12,10 @@ from .train.config import parse_cli
 def main(argv=None):
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
     # import after config parsing so JAX platform env vars can be set first
+    from .tools import enable_compilation_cache
     from .train.trainer import Trainer, render_test
+
+    enable_compilation_cache()
 
     if cfg.evaluation:
         render_test(cfg)

@@ -69,6 +69,45 @@ def relay_ready(wait_s: float | None = None) -> str | None:
         time.sleep(15)
 
 
+def enable_compilation_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local directory
+    and return its path (``None`` when disabled via ``$JAX_CACHE_DISABLE``).
+
+    Production-scale compiles cost 2-30 min per fresh process (NOTES.md);
+    the persistent cache collapses repeats to seconds and — verified on the
+    axon TPU backend, 2.75 s → 0.64 s across processes — works through the
+    relay.  The directory lives INSIDE the repo (gitignored) so it survives
+    container restarts: the driver's official ``bench.py`` capture then
+    compiles warm even in a fresh container, which is the round-4
+    starvation fix's last soft spot (VERDICT r4 #1a).
+
+    Call after ``import jax`` and before first device use.  Safe to call
+    multiple times and on CPU (tests share the cache dir; entries are keyed
+    by backend + topology so TPU/CPU never collide).
+    """
+    import os
+
+    if os.environ.get("JAX_CACHE_DISABLE"):
+        return None
+    import jax
+
+    path = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                     ".jax_cache")))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every compile that costs >=1 s regardless of entry size —
+        # the default min-size gate would skip mid-sized programs that
+        # still pay multi-second XLA runs through the tunnel
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        return None  # an older jax without these flags just compiles cold
+    return path
+
+
 _TPU_LOCK_FD = None  # held for the life of the process once acquired
 
 
@@ -209,3 +248,4 @@ def require_tpu_relay() -> None:
             f"{err}; this tool needs the TPU — re-run when the relay returns")
     acquire_tpu_lock()
     os.environ.setdefault("TPU_YIELDABLE", "1")
+    enable_compilation_cache()

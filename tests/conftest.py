@@ -20,3 +20,9 @@ try:
 except Exception:
     pass  # backend already initialized (e.g. single-process reuse) — tests
     # that need 8 devices will skip/fail loudly rather than silently
+
+from egonerf_tpu.tools import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # repo-local persistent cache: repeat suite runs
+# skip the multi-minute XLA compiles (entries are keyed by backend+topology,
+# so the CPU-mesh tests never collide with TPU bench entries)

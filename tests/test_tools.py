@@ -470,3 +470,26 @@ def test_envmap_probe_functions():
     rec = bg_fg_split(render, gt, bg)
     assert rec["bg_pixel_fraction"] == 0.25
     assert rec["psnr_fg"] > 100.0 and rec["psnr_bg"] < 10.0
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """The persistent-cache helper honors $JAX_CACHE_DIR, creates the
+    directory, points jax at it, and disables cleanly (VERDICT r4 #1a:
+    the official capture must compile warm even in a fresh container)."""
+    import jax
+
+    from egonerf_tpu.tools import enable_compilation_cache
+
+    target = tmp_path / "jc"
+    monkeypatch.setenv("JAX_CACHE_DIR", str(target))
+    try:
+        assert enable_compilation_cache() == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+    finally:
+        # restore the suite-wide repo-local cache for subsequent tests
+        monkeypatch.delenv("JAX_CACHE_DIR")
+        enable_compilation_cache()
+
+    monkeypatch.setenv("JAX_CACHE_DISABLE", "1")
+    assert enable_compilation_cache() is None
